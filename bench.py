@@ -1,0 +1,54 @@
+"""Benchmark: particle-push throughput on the 2D reconnection-class deck
+(the reference's headline metric, README.performance:8-10 — 7.8M
+pushes/s/processor on the 2004-era cluster; north star 1e9 pushes/s/chip).
+
+Prints ONE JSON line:
+  {"metric": "particle_pushes_per_s", "value": N, "unit": "pushes/s",
+   "vs_baseline": N / 7.8e6}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    npart = int(os.environ.get("BENCH_NPART", 2_000_000))
+    nx = int(os.environ.get("BENCH_NX", 256))
+    ny = int(os.environ.get("BENCH_NY", 256))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _build
+
+    sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2)  # 2 species
+
+    # warmup / compile
+    sim.advance(1)
+    jax.block_until_ready(sim.state)
+
+    t0 = time.perf_counter()
+    sim.advance(steps)
+    jax.block_until_ready(sim.state)
+    dt = time.perf_counter() - t0
+
+    total_particles = sum(
+        int(np.asarray(sp.np)) for sp in sim.state.species)
+    pushes_per_s = total_particles * steps / dt
+
+    baseline = 7.8e6  # pushes/s/processor, README.performance:8-10
+    print(json.dumps({
+        "metric": "particle_pushes_per_s",
+        "value": pushes_per_s,
+        "unit": "pushes/s",
+        "vs_baseline": pushes_per_s / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Multi-shard correctness: an x-sharded periodic plasma must evolve
+identically (to fp32 roundoff) to the single-device run — this exercises
+field halo exchange, shared-face sync, jf/rho merges, and particle
+migration over the device mesh."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _rerun_in_cpu_mesh(test_name: str):
+    """When the ambient process is pinned to a single (TPU) device, re-run
+    this test in a scrubbed subprocess with an 8-device CPU mesh."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no eager TPU registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    env["VPIC_TPU_MESH_CHILD"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", f"{__file__}::{test_name}",
+         "-q", "--no-header"],
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, f"child failed:\n{r.stdout}\n{r.stderr}"
+
+
+def _needs_mesh(test_name: str, n: int) -> bool:
+    """True if the caller should run the real body."""
+    if len(jax.devices()) >= n:
+        return True
+    if os.environ.get("VPIC_TPU_MESH_CHILD") == "1":
+        pytest.skip(f"only {len(jax.devices())} devices even in child")
+    _rerun_in_cpu_mesh(test_name)
+    return False
+
+
+from vpic_tpu.deck.api import Simulation
+
+
+def build(px=1, py=1, pz=1, seed=3):
+    nx, ny, nz = 8, 4, 4
+    L = 1.0
+    sim = Simulation(seed=seed)
+    sim.define_units(1.0, 1.0)
+    dt = 0.9 * sim.courant_length(L, L, L, nx, ny, nz)
+    sim.define_timestep(dt)
+    sim.define_periodic_grid(0, 0, 0, L, L, L, nx, ny, nz, px, py, pz)
+    sim.define_material("vacuum")
+    e = sim.define_species("electron", -1.0, 4096)
+
+    # deterministic global particle set (identical for every topology)
+    rng = np.random.default_rng(12345)
+    n = 1024
+    x, y, z = (rng.uniform(0, L, n) for _ in range(3))
+    ux, uy, uz = (rng.normal(0, 0.3, n) for _ in range(3))
+    sim.inject_particle(e, x, y, z, ux, uy, uz, q=-1.0 / n)
+
+    sim.set_field("ex", lambda x, y, z: 0.01 * np.sin(2 * np.pi * x))
+    sim.set_field("cbz", lambda x, y, z: 0.02 * np.cos(2 * np.pi * y))
+    sim.finalize()
+    return sim
+
+
+def global_field(sim, comp):
+    g = sim.grid
+    a = np.asarray(getattr(sim.state.field, comp))
+    if a.ndim == 3:
+        return a[1:g.nz + 1, 1:g.ny + 1, 1:g.nx + 1]
+    # (pz,py,px,nzg,nyg,nxg) -> assemble owned blocks
+    blocks = []
+    for sz in range(a.shape[0]):
+        yrow = []
+        for sy in range(a.shape[1]):
+            xrow = [a[sz, sy, sx, 1:g.nz + 1, 1:g.ny + 1, 1:g.nx + 1]
+                    for sx in range(a.shape[2])]
+            yrow.append(np.concatenate(xrow, axis=2))
+        blocks.append(np.concatenate(yrow, axis=1))
+    return np.concatenate(blocks, axis=0)
+
+
+def test_two_shard_equivalence():
+    if not _needs_mesh("test_two_shard_equivalence", 2):
+        return
+    s1 = build(px=1)
+    s2 = build(px=2)
+
+    n_steps = 5
+    s1.advance(n_steps)
+    s2.advance(n_steps)
+
+    for comp in ("ex", "ey", "ez", "cbx", "cby", "cbz", "jfx"):
+        a = global_field(s1, comp)
+        b = global_field(s2, comp)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=comp)
+
+    e1, e2 = s1.energies(), s2.energies()
+    for k in e1:
+        np.testing.assert_allclose(e1[k], e2[k], rtol=1e-4, atol=1e-9,
+                                   err_msg=k)
+
+    # particle counts conserved globally
+    np1 = int(np.sum(np.asarray(s1.state.species[0].alive)))
+    alive2 = np.asarray(s2.state.species[0].i >= 0) & (
+        np.arange(s2.state.species[0].max_np)[None, None, None, :]
+        < np.asarray(s2.state.species[0].np)[..., None])
+    np2 = int(alive2.sum())
+    assert np1 == np2 == 1024
+
+
+def test_eight_shard_runs():
+    if not _needs_mesh("test_eight_shard_runs", 8):
+        return
+    s = build(px=2, py=2, pz=2)
+    s.advance(3)
+    e = s.energies()
+    assert all(np.isfinite(v) for v in e.values())

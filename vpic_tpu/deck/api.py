@@ -1,0 +1,443 @@
+"""Deck API — the Python analogue of the reference's compile-time input deck
+DSL (src/deck_wrapper.cxx + the ~60 deck-facing helpers of
+vpic_simulation, src/vpic/vpic.hxx:126-555).
+
+A deck is a Python module/function that builds a :class:`Simulation` with the
+same vocabulary: define_units, define_timestep, define_periodic_grid,
+define_material, define_species, set_field (region equations over staggered
+meshgrids), inject_particle, then steps it.  Multi-shard domains (px,py,pz
+topology, partition.c:36-85) build one state per shard and run under
+shard_map (engine/distributed.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..comm.facecomm import LocalComm, ShardComm
+from ..core.types import (
+    ABSORB_FIELDS,
+    ANTI_SYMMETRIC_FIELDS,
+    FieldState,
+    Grid,
+    MaterialGrid,
+    MaterialTable,
+    NEIGHBOR_ABSORB,
+    NEIGHBOR_REFLECT,
+    PERIODIC_FIELDS,
+    SimState,
+    SpeciesState,
+)
+from ..engine import distributed as dist
+from ..engine.init import initialize_state
+from ..engine.step import StepOptions, make_advance
+from ..field import stencil
+from ..field.slabs import own_slice
+from ..grid.partition import make_grid_arrays, shard_origin
+from ..particles import aux as paux
+from ..particles import push as ppush
+
+
+@dataclasses.dataclass
+class _Material:
+    name: str
+    id: int
+    epsx: float; epsy: float; epsz: float
+    mux: float; muy: float; muz: float
+    sigmax: float; sigmay: float; sigmaz: float
+    zetax: float; zetay: float; zetaz: float
+
+
+def _as3(v):
+    if np.isscalar(v):
+        return (float(v),) * 3
+    v = tuple(float(x) for x in v)
+    assert len(v) == 3
+    return v
+
+
+def build_material_table(materials: List[_Material], g: Grid) -> MaterialTable:
+    """Precompute FDTD coefficients exactly like new_material_coefficients
+    (standard/sfa.c:138-174)."""
+    n = len(materials)
+    cols = {k: np.zeros((n,), np.float32) for k in (
+        "decayx decayy decayz drivex drivey drivez rmux rmuy rmuz "
+        "nonconductive epsx epsy epsz".split())}
+    for m in materials:
+        i = m.id
+        axs = {}
+        for c, eps, sigma in (("x", m.epsx, m.sigmax),
+                              ("y", m.epsy, m.sigmay),
+                              ("z", m.epsz, m.sigmaz)):
+            a = (sigma * g.dt) / (eps * g.eps0)
+            decay = math.exp(-a)
+            if a == 0:
+                drive = 1.0 / eps
+            elif decay == 0:
+                drive = 0.0
+            else:
+                drive = 2.0 * math.exp(-0.5 * a) * math.sinh(0.5 * a) / (a * eps)
+            cols["decay" + c][i] = decay
+            cols["drive" + c][i] = drive
+            cols["eps" + c][i] = eps
+            axs[c] = a
+        cols["rmux"][i] = 1.0 / m.mux
+        cols["rmuy"][i] = 1.0 / m.muy
+        cols["rmuz"][i] = 1.0 / m.muz
+        cols["nonconductive"][i] = 1.0 if all(
+            v == 0 for v in axs.values()) else 0.0
+    return MaterialTable(**{k: jnp.asarray(v) for k, v in cols.items()})
+
+
+_PBC_MAP = {"periodic": PERIODIC_FIELDS, "absorb": NEIGHBOR_ABSORB,
+            "reflect": NEIGHBOR_REFLECT}
+
+_KIND_OF = {
+    "ex": "edge_x", "ey": "edge_y", "ez": "edge_z",
+    "cbx": "face_x", "cby": "face_y", "cbz": "face_z",
+    "jfx": "edge_x", "jfy": "edge_y", "jfz": "edge_z",
+    "rhof": "node", "rhob": "node",
+}
+
+
+class Simulation:
+    """Single top-level simulation object (vpic_simulation analogue)."""
+
+    def __init__(self, seed: int = 0):
+        self.cvac = 1.0
+        self.eps0 = 1.0
+        self.damp = 0.0
+        self.dt = 0.0
+        self.num_step = 0
+        self.seed = seed
+        self.grid: Optional[Grid] = None
+        self.materials: List[_Material] = []
+        self._species: List[dict] = []
+        self._field_sets: List[tuple] = []
+        self.rng = np.random.default_rng(seed)
+        self.state: Optional[SimState] = None
+        self.opts = StepOptions()
+        self._advance_fn = None
+        self._energies_fn = None
+        self.mesh = None
+        self.step_count = 0
+
+    # -- units / time ----------------------------------------------------
+    def define_units(self, cvac: float, eps0: float):
+        self.cvac, self.eps0 = float(cvac), float(eps0)
+
+    def define_timestep(self, dt: float):
+        self.dt = float(dt)
+
+    def courant_length(self, lx, ly, lz, nx, ny, nz):
+        """vpic.hxx:537-544."""
+        w = 0.0
+        if nx > 1:
+            w += (nx / lx) ** 2
+        if ny > 1:
+            w += (ny / ly) ** 2
+        if nz > 1:
+            w += (nz / lz) ** 2
+        return 1.0 / math.sqrt(w)
+
+    # -- grid -------------------------------------------------------------
+    def _make_grid(self, x0, y0, z0, x1, y1, z1, nx, ny, nz, px, py, pz,
+                   fbc, pbc):
+        assert nx % px == 0 and ny % py == 0 and nz % pz == 0
+        self.grid = Grid(
+            nx=nx // px, ny=ny // py, nz=nz // pz,
+            dt=self.dt, cvac=self.cvac, eps0=self.eps0, damp=self.damp,
+            gx0=x0, gy0=y0, gz0=z0, gx1=x1, gy1=y1, gz1=z1,
+            gpx=px, gpy=py, gpz=pz, fbc=tuple(fbc), pbc=tuple(pbc),
+        )
+        return self.grid
+
+    def define_periodic_grid(self, x0, y0, z0, x1, y1, z1, nx, ny, nz,
+                             px=1, py=1, pz=1):
+        """partition_periodic_box (src/grid/partition.c:36-85)."""
+        return self._make_grid(x0, y0, z0, x1, y1, z1, nx, ny, nz,
+                               px, py, pz,
+                               (PERIODIC_FIELDS,) * 6,
+                               (PERIODIC_FIELDS,) * 6)
+
+    def define_absorbing_grid(self, x0, y0, z0, x1, y1, z1, nx, ny, nz,
+                              px=1, py=1, pz=1, pbc="absorb"):
+        """partition_absorbing_box (partition.c:88-140)."""
+        return self._make_grid(x0, y0, z0, x1, y1, z1, nx, ny, nz,
+                               px, py, pz,
+                               (ABSORB_FIELDS,) * 6,
+                               (_PBC_MAP[pbc],) * 6)
+
+    def define_reflecting_grid(self, x0, y0, z0, x1, y1, z1, nx, ny, nz,
+                               px=1, py=1, pz=1):
+        """partition_metal_box (partition.c:142-177)."""
+        return self._make_grid(x0, y0, z0, x1, y1, z1, nx, ny, nz,
+                               px, py, pz,
+                               (ANTI_SYMMETRIC_FIELDS,) * 6,
+                               (NEIGHBOR_REFLECT,) * 6)
+
+    def set_domain_field_bc(self, face: int, bc: int):
+        """set_fbc analogue (src/grid/ops.c)."""
+        fbc = list(self.grid.fbc)
+        fbc[face] = bc
+        self.grid = dataclasses.replace(self.grid, fbc=tuple(fbc))
+
+    def set_domain_particle_bc(self, face: int, bc):
+        pbc = list(self.grid.pbc)
+        pbc[face] = _PBC_MAP.get(bc, bc)
+        self.grid = dataclasses.replace(self.grid, pbc=tuple(pbc))
+
+    # -- materials / species ----------------------------------------------
+    def define_material(self, name, eps=1.0, mu=1.0, sigma=0.0, zeta=0.0):
+        ex, ey, ez = _as3(eps)
+        mx, my, mz = _as3(mu)
+        sx, sy, sz = _as3(sigma)
+        zx, zy, zz = _as3(zeta)
+        m = _Material(name, len(self.materials), ex, ey, ez,
+                      mx, my, mz, sx, sy, sz, zx, zy, zz)
+        self.materials.append(m)
+        return m
+
+    def define_species(self, name, q_m, max_np, sort_interval=0):
+        h = dict(name=name, sid=len(self._species), q_m=float(q_m),
+                 max_np=int(max_np), sort_interval=int(sort_interval),
+                 batches=[])
+        self._species.append(h)
+        return h
+
+    # -- field regions ----------------------------------------------------
+    def component_coords(self, comp: str, shard=(0, 0, 0)):
+        """Sparse [z,y,x]-shaped meshgrids of the physical positions of one
+        field component's owned sublattice on one shard (the 8 Yee
+        sub-lattices, deck_wrapper.cxx:467-503)."""
+        g = self.grid
+        kind = _KIND_OF[comp]
+        axes = []
+        for a, (gmin, d, n, s_) in enumerate((
+                (g.gx0, g.dx, g.nx, shard[0]), (g.gy0, g.dy, g.ny, shard[1]),
+                (g.gz0, g.dz, g.nz, shard[2]))):
+            sl = own_slice(g, kind, a)
+            idx = np.arange(sl.start, sl.stop) + s_ * n
+            node_aligned = (
+                kind == "node"
+                or (kind.startswith("edge_") and "xyz".index(kind[-1]) != a)
+                or (kind.startswith("face_") and "xyz".index(kind[-1]) == a))
+            pos = gmin + (idx - 1 + (0.0 if node_aligned else 0.5)) * d
+            axes.append(pos)
+        Z, Y, X = np.meshgrid(axes[2], axes[1], axes[0], indexing="ij")
+        return X, Y, Z
+
+    def set_field(self, comp: str, fn):
+        """Register comp = fn(x, y, z) over its owned sublattice (the
+        set_region_field analogue, deck_wrapper.cxx:228-345; fold regions
+        into the equation with np.where)."""
+        assert comp in _KIND_OF, comp
+        self._field_sets.append((comp, fn))
+
+    # -- particles ---------------------------------------------------------
+    def inject_particle(self, species, x, y, z, ux, uy, uz, q,
+                        update_rhob=False):
+        """Vectorized injection (misc.cxx:16-106).  Coordinates are global;
+        shard assignment + the robust double-precision global->local
+        conversion happen at finalize."""
+        x = np.atleast_1d(np.asarray(x, np.float64))
+        shape = x.shape
+        arr = lambda v: np.broadcast_to(
+            np.atleast_1d(np.asarray(v, np.float64)), shape).astype(
+                np.float64)
+        species["batches"].append(dict(
+            x=x, y=arr(y), z=arr(z), ux=arr(ux), uy=arr(uy), uz=arr(uz),
+            q=arr(q), update_rhob=bool(update_rhob)))
+
+    def maxwellian(self, n, ut):
+        """n normal momenta with thermal spread ut (mt_{d,f}randn analogue,
+        mtrand.h:39-146)."""
+        return self.rng.normal(0.0, ut, size=n)
+
+    def uniform(self, n, lo, hi):
+        return self.rng.uniform(lo, hi, size=n)
+
+    # -- finalize ----------------------------------------------------------
+    def _build_shard_state(self, shard, mat) -> SimState:
+        g = self.grid
+        sx, sy, sz = shard
+        x0s, y0s, z0s = shard_origin(g, shard)
+        lx = (g.gx1 - g.gx0) / g.gpx
+        ly = (g.gy1 - g.gy0) / g.gpy
+        lz = (g.gz1 - g.gz0) / g.gpz
+        x1s, y1s, z1s = x0s + lx, y0s + ly, z0s + lz
+
+        field_np = {k: np.zeros(g.shape, np.float32)
+                    for k in ("ex", "ey", "ez", "cbx", "cby", "cbz",
+                              "jfx", "jfy", "jfz", "rhof", "rhob")}
+        for comp, fn in self._field_sets:
+            x, y, z = self.component_coords(comp, shard)
+            vals = np.broadcast_to(
+                np.asarray(fn(x, y, z), np.float32), x.shape)
+            ix = tuple(own_slice(g, _KIND_OF[comp], a) for a in (2, 1, 0))
+            field_np[comp][ix] = vals
+
+        f = FieldState.zeros(g).replace(
+            **{k: jnp.asarray(v) for k, v in field_np.items()})
+
+        def cellify(c, c0, c1, n):
+            t = n * ((c - c0) / (c1 - c0))
+            ic = t.astype(np.int64)
+            t = t - ic
+            t = (t + t) - 1.0
+            far = ic == n
+            t = np.where(far, 1.0, t)
+            ic = np.where(far, n - 1, ic) + 1
+            return t, ic
+
+        species = []
+        rhob_batches = []
+        for h in self._species:
+            sp = SpeciesState.create(h["name"], h["sid"], h["q_m"],
+                                     h["max_np"], h["sort_interval"])
+            cols = {k: [] for k in ("dx", "dy", "dz", "i", "ux", "uy",
+                                    "uz", "q")}
+            total = 0
+            for b in h["batches"]:
+                own = ((b["x"] >= x0s) & (b["y"] >= y0s) & (b["z"] >= z0s)
+                       & (b["x"] < x1s) & (b["y"] < y1s) & (b["z"] < z1s))
+                # far-wall ownership on the global high faces with local BCs
+                # (misc.cxx:37-40)
+                if sx == g.gpx - 1 and g.fbc[3] != PERIODIC_FIELDS:
+                    own |= ((b["x"] == x1s) & (b["y"] >= y0s) & (b["z"] >= z0s)
+                            & (b["y"] < y1s) & (b["z"] < z1s))
+                if not own.any():
+                    continue
+                dxv, ix = cellify(b["x"][own], x0s, x1s, g.nx)
+                dyv, iy = cellify(b["y"][own], y0s, y1s, g.ny)
+                dzv, iz = cellify(b["z"][own], z0s, z1s, g.nz)
+                vox = (ix + g.nxg * (iy + g.nyg * iz)).astype(np.int32)
+                cols["dx"].append(dxv.astype(np.float32))
+                cols["dy"].append(dyv.astype(np.float32))
+                cols["dz"].append(dzv.astype(np.float32))
+                cols["i"].append(vox)
+                for k in ("ux", "uy", "uz", "q"):
+                    cols[k].append(b[k][own].astype(np.float32))
+                n_own = int(own.sum())
+                if b["update_rhob"]:
+                    rhob_batches.append(dict(
+                        i=vox, q=cols["q"][-1], dx=cols["dx"][-1],
+                        dy=cols["dy"][-1], dz=cols["dz"][-1]))
+                total += n_own
+            if total > h["max_np"]:
+                raise ValueError(
+                    f"species {h['name']}: {total} > max_np {h['max_np']}")
+            if total:
+                upd = {}
+                for k in cols:
+                    cat = np.concatenate(cols[k])
+                    buf = np.asarray(getattr(sp, k)).copy()
+                    buf[:total] = cat
+                    upd[k] = jnp.asarray(buf)
+                sp = sp.replace(np=jnp.int32(total), **upd)
+            species.append(sp)
+
+        state = SimState(
+            field=f,
+            interpolator=jnp.zeros((g.nv, 18), jnp.float32),
+            species=tuple(species),
+            grid_arrays=make_grid_arrays(g, shard),
+            materials=mat,
+            material_grid=None,
+            rng=jax.random.key(
+                self.seed * 65537 + (sx + g.gpx * (sy + g.gpy * sz))),
+            step=jnp.int32(0),
+        )
+        for b in rhob_batches:
+            state = dataclasses.replace(state, field=paux.accumulate_rhob(
+                state.field, g,
+                jnp.asarray(b["i"]), jnp.asarray(-b["q"]),
+                jnp.asarray(b["dx"]), jnp.asarray(b["dy"]),
+                jnp.asarray(b["dz"]),
+                jnp.ones((len(b["i"]),), bool)))
+        return state
+
+    def finalize(self, devices=None, **hooks):
+        g = self.grid
+        assert g is not None, "define a grid first"
+        if not self.materials:
+            self.define_material("vacuum")
+        mat = build_material_table(self.materials, g)
+
+        if g.is_multishard:
+            self.mesh = dist.make_mesh(g, devices)
+            shards = [[[self._build_shard_state((sx, sy, sz), mat)
+                        for sx in range(g.gpx)]
+                       for sy in range(g.gpy)]
+                      for sz in range(g.gpz)]
+            state = dist.stack_shards(shards, g)
+            state = dist.shard_state(state, self.mesh)
+            state = dist.make_distributed_init(g, self.mesh)(state)
+            self._advance_fn = dist.make_distributed_advance(
+                g, self.mesh, opts=self.opts, **hooks)
+            self.comm = ShardComm(g, dist._axis_names_for(g))
+        else:
+            state = self._build_shard_state((0, 0, 0), mat)
+            self.comm = LocalComm(g)
+            state = jax.jit(
+                lambda s: initialize_state(s, g, self.comm))(state)
+            self._advance_fn = jax.jit(make_advance(
+                g, self.comm, pcomm=None, opts=self.opts, **hooks))
+        self.state = state
+        return state
+
+    def advance(self, n=1):
+        for _ in range(n):
+            self.state = self._advance_fn(self.state)
+            self.step_count += 1
+        return self.state
+
+    # -- diagnostics -------------------------------------------------------
+    def _diag_energies(self):
+        g = self.grid
+
+        def per_shard(st):
+            ef = stencil.local_energy_f(st.field, g, st.materials,
+                                        st.material_grid)
+            ep = jnp.stack([ppush.energy_p(sp, st.interpolator, g)
+                            for sp in st.species]) \
+                if st.species else jnp.zeros((0,), jnp.float64)
+            return ef, ep
+
+        if g.is_multishard:
+            from jax.sharding import PartitionSpec as P
+
+            def fn(st):
+                st = jax.tree.map(lambda a: a.reshape(a.shape[3:]), st)
+                ef, ep = per_shard(st)
+                return (ef.reshape((1, 1, 1) + ef.shape),
+                        ep.reshape((1, 1, 1) + ep.shape))
+
+            spec = P(*dist.AXIS_NAMES)
+            sm = jax.shard_map(fn, mesh=self.mesh, in_specs=spec,
+                               out_specs=spec, check_vma=False)
+            ef, ep = jax.jit(sm)(self.state)
+            ef = np.asarray(ef).sum(axis=(0, 1, 2))
+            ep = np.asarray(ep).sum(axis=(0, 1, 2))
+        else:
+            ef, ep = jax.jit(per_shard)(self.state)
+            ef, ep = np.asarray(ef), np.asarray(ep)
+        return ef, ep
+
+    def energies(self):
+        """dump_energies values (dump.cxx:37-78): 6 field energies + per-
+        species kinetic energies."""
+        g = self.grid
+        ef, ep = self._diag_energies()
+        ef = np.asarray(stencil.finish_energy_f(g, ef))
+        out = {k: float(v) for k, v in zip(
+            ("ex", "ey", "ez", "bx", "by", "bz"), ef)}
+        for h, e in zip(self._species, ep):
+            out[h["name"]] = float(e) * (g.cvac * g.cvac / h["q_m"])
+        return out

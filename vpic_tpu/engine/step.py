@@ -1,0 +1,205 @@
+"""The time step: a pure jitted SimState -> SimState function.
+
+Composition mirrors vpic_simulation::advance (src/vpic/advance.cxx:13-244):
+
+  clear accumulators -> sort (interval) -> user collisions ->
+  advance_p per species -> emitters/user injection ->
+  boundary_p x num_comm_round -> clear_jf + unload_accumulator +
+  synchronize_jf -> user current injection -> advance_b(1/2) ->
+  advance_e -> user field injection -> advance_b(1/2) ->
+  (interval) div-E clean -> (interval) div-B clean ->
+  (interval) shared-face sync -> load_interpolator -> step++
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.types import FieldState, Grid, SimState
+from ..field import ghost, stencil, sync
+from ..particles import aux as paux
+from ..particles import boundary as pboundary
+from ..particles import push as ppush
+from ..sf import interp as sfi
+
+
+@dataclasses.dataclass(frozen=True)
+class StepOptions:
+    """Runtime-adjustable controls (reference: vpic.cxx:13-48 defaults +
+    modify_runparams, dump.cxx:824-890)."""
+
+    num_comm_round: int = 3
+    clean_div_e_interval: int = 0
+    clean_div_b_interval: int = 0
+    sync_shared_interval: int = 0
+    n_walk: int = 4
+    max_inj: int = 4096  # per-face injector buffer capacity
+
+
+def _interval_hit(step, interval: int):
+    if interval <= 0:
+        return None
+    return (step % interval) == 0
+
+
+def _clean_div_e(state: SimState, g: Grid, comm) -> SimState:
+    """advance.cxx:151-173: rho accumulation + up to two Marder passes."""
+    f = sfi.clear_rhof(state.field, g)
+    for sp in state.species:
+        f = paux.accumulate_rho_p(f, sp, g)
+    f = sync.synchronize_rho(f, g, comm)
+    f = stencil.compute_div_e_err(f, g, state.materials, state.material_grid,
+                                  comm)
+    err, vol = stencil.local_rms_div_e_err(f, g)
+    err, vol = comm.allsum(err), comm.allsum(vol)
+    rms = stencil.finish_rms(g, err, vol)
+
+    def clean(f):
+        f = stencil.clean_div_e(f, g, state.materials, state.material_grid)
+        f2 = stencil.compute_div_e_err(f, g, state.materials,
+                                       state.material_grid, comm)
+        e2, v2 = stencil.local_rms_div_e_err(f2, g)
+        rms2 = stencil.finish_rms(g, comm.allsum(e2), comm.allsum(v2))
+        return lax.cond(
+            rms2 > 0,
+            lambda f2: stencil.clean_div_e(f2, g, state.materials,
+                                           state.material_grid),
+            lambda f2: f2,
+            f2)
+
+    f = lax.cond(rms > 0, clean, lambda f: f, f)
+    return dataclasses.replace(state, field=f)
+
+
+def _clean_div_b(state: SimState, g: Grid, comm) -> SimState:
+    """advance.cxx:177-195."""
+    f = stencil.compute_div_b_err(state.field, g)
+    err, vol = stencil.local_rms_div_b_err(f, g)
+    rms = stencil.finish_rms(g, comm.allsum(err), comm.allsum(vol))
+
+    def clean(f):
+        f = stencil.clean_div_b(f, g, comm)
+        f2 = stencil.compute_div_b_err(f, g)
+        e2, v2 = stencil.local_rms_div_b_err(f2, g)
+        rms2 = stencil.finish_rms(g, comm.allsum(e2), comm.allsum(v2))
+        return lax.cond(rms2 > 0,
+                        lambda f2: stencil.clean_div_b(f2, g, comm),
+                        lambda f2: f2, f2)
+
+    f = lax.cond(rms > 0, clean, lambda f: f, f)
+    return dataclasses.replace(state, field=f)
+
+
+def make_advance(
+    g: Grid,
+    comm,
+    pcomm=None,
+    opts: StepOptions = StepOptions(),
+    user_particle_collisions: Optional[Callable] = None,
+    user_particle_injection: Optional[Callable] = None,
+    user_current_injection: Optional[Callable] = None,
+    user_field_injection: Optional[Callable] = None,
+    emitters: tuple = (),
+):
+    """Build the (jittable) advance function for a fixed configuration.
+    The ``user_*`` hooks are jax-traceable callbacks
+    (SimState -> SimState), the deck section analogues
+    (deck_wrapper.cxx:16-36)."""
+
+    def advance(state: SimState) -> SimState:
+        f = state.field
+        nb = state.grid_arrays.neighbor
+        acc = jnp.zeros((g.nv, 12), dtype=jnp.float32)
+
+        # -- sort (performance + collision support) --
+        species = []
+        for sp in state.species:
+            if sp.sort_interval > 0:
+                hit = (state.step % sp.sort_interval) == 0
+                sp = lax.cond(hit, paux.sort_p, lambda s: s, sp)
+            species.append(sp)
+
+        state = dataclasses.replace(state, species=tuple(species))
+        if user_particle_collisions is not None:
+            state = user_particle_collisions(state)
+
+        # -- particle push + current deposition --
+        species = []
+        for sp in state.species:
+            sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb, g,
+                                      n_walk=opts.n_walk)
+            species.append(sp)
+        state = dataclasses.replace(state, species=tuple(species))
+
+        # -- emission + user injection --
+        for emitter in emitters:
+            state, acc, f = emitter(state, acc, f)
+        if user_particle_injection is not None:
+            state = user_particle_injection(state)
+
+        # -- guard list processing (migration/absorption rounds) --
+        for _ in range(opts.num_comm_round):
+            species = []
+            for sp in state.species:
+                sp, f, acc = pboundary.process_boundary(
+                    sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk)
+                species.append(sp)
+            state = dataclasses.replace(state, species=tuple(species))
+        state = dataclasses.replace(
+            state,
+            species=tuple(pboundary.finish_boundary(sp)
+                          for sp in state.species))
+
+        # -- currents -> fields --
+        f = sfi.clear_jf(f, g)
+        if state.species:
+            f = sfi.unload_accumulator(f, acc, g)
+        f = sync.synchronize_jf(f, g, comm)
+
+        state = dataclasses.replace(state, field=f)
+        if user_current_injection is not None:
+            state = user_current_injection(state)
+        f = state.field
+
+        # -- field advance --
+        f = stencil.advance_b(f, g, 0.5)
+        f = stencil.advance_e(f, g, state.materials, state.material_grid,
+                              comm)
+        state = dataclasses.replace(state, field=f)
+        if user_field_injection is not None:
+            state = user_field_injection(state)
+        f = state.field
+        f = stencil.advance_b(f, g, 0.5)
+        state = dataclasses.replace(state, field=f)
+
+        # -- divergence cleaning / face sync on intervals --
+        hit = _interval_hit(state.step, opts.clean_div_e_interval)
+        if hit is not None:
+            state = lax.cond(hit, partial(_clean_div_e, g=g, comm=comm),
+                             lambda s: s, state)
+        hit = _interval_hit(state.step, opts.clean_div_b_interval)
+        if hit is not None:
+            state = lax.cond(hit, partial(_clean_div_b, g=g, comm=comm),
+                             lambda s: s, state)
+        hit = _interval_hit(state.step, opts.sync_shared_interval)
+        if hit is not None:
+            def do_sync(state):
+                f, _ = sync.synchronize_tang_e_norm_b(state.field, g, comm)
+                return dataclasses.replace(state, field=f)
+            state = lax.cond(hit, do_sync, lambda s: s, state)
+
+        # -- interpolator for the next step --
+        interp = state.interpolator
+        if state.species:
+            interp = sfi.load_interpolator(state.field, g)
+
+        return dataclasses.replace(
+            state, interpolator=interp, step=state.step + 1)
+
+    return advance
