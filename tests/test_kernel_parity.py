@@ -141,7 +141,7 @@ def test_advance_p_parity(hot):
     acc = jnp.zeros((g.nv, 12), jnp.float32)
     sp2, acc2 = jax.jit(
         lambda sp, acc: ppush.advance_p(sp, interp, acc, ga.neighbor, g,
-                                        n_walk=4))(sp, acc)
+                                        max_nm=n, n_walk=4))(sp, acc)
 
     assert int(sp2.nm) == 0
     np.testing.assert_array_equal(np.asarray(sp2.i), pr["i"].astype(np.int32))

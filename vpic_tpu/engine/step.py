@@ -39,7 +39,11 @@ class StepOptions:
     clean_div_b_interval: int = 0
     sync_shared_interval: int = 0
     n_walk: int = 4
-    max_inj: int = 4096  # per-face injector buffer capacity
+    max_inj: int = 16384  # pending/injector buffer capacity
+    # Use the sorted one-hot-matmul Pallas deposition kernel (requires the
+    # accumulator (16, nv_pad) to fit VMEM; None = auto by grid size) and
+    # keep particles sorted by voxel every step.
+    sorted_deposit: bool | None = None
 
 
 def _interval_hit(step, interval: int):
@@ -112,15 +116,26 @@ def make_advance(
     (SimState -> SimState), the deck section analogues
     (deck_wrapper.cxx:16-36)."""
 
+    sorted_deposit = opts.sorted_deposit
+    if sorted_deposit is None:
+        # VMEM budget for the (16, nv_pad) transposed accumulator
+        sorted_deposit = g.nv <= 120_000
+    if sorted_deposit and jax.default_backend() == "cpu":
+        # pallas interpret mode is slow; tests run the XLA scatter path
+        sorted_deposit = False
+
     def advance(state: SimState) -> SimState:
         f = state.field
         nb = state.grid_arrays.neighbor
         acc = jnp.zeros((g.nv, 12), dtype=jnp.float32)
 
-        # -- sort (performance + collision support) --
+        # -- sort (deposition locality; every step when the sorted Pallas
+        # deposit is active, else on the reference's sort_interval) --
         species = []
         for sp in state.species:
-            if sp.sort_interval > 0:
+            if sorted_deposit:
+                sp = paux.sort_p(sp)
+            elif sp.sort_interval > 0:
                 hit = (state.step % sp.sort_interval) == 0
                 sp = lax.cond(hit, paux.sort_p, lambda s: s, sp)
             species.append(sp)
@@ -133,7 +148,8 @@ def make_advance(
         species = []
         for sp in state.species:
             sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb, g,
-                                      n_walk=opts.n_walk)
+                                      n_walk=opts.n_walk,
+                                      sorted_deposit=sorted_deposit)
             species.append(sp)
         state = dataclasses.replace(state, species=tuple(species))
 
@@ -144,13 +160,26 @@ def make_advance(
             state = user_particle_injection(state)
 
         # -- guard list processing (migration/absorption rounds) --
-        for _ in range(opts.num_comm_round):
-            species = []
-            for sp in state.species:
+        # Each round runs under a cond on the GLOBAL pending count (psum ->
+        # uniform across shards, so collectives inside never diverge); a
+        # step with no boundary interactions skips the rounds entirely.
+        def one_round(carry):
+            species, f, acc = carry
+            out = []
+            for sp in species:
                 sp, f, acc = pboundary.process_boundary(
                     sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk)
-                species.append(sp)
-            state = dataclasses.replace(state, species=tuple(species))
+                out.append(sp)
+            return (tuple(out), f, acc)
+
+        carry = (state.species, f, acc)
+        for _ in range(opts.num_comm_round):
+            pending = sum(
+                jnp.sum(sp.alive & (sp.pc != 0)) for sp in carry[0])
+            pending = comm.allsum(pending.astype(jnp.int32))
+            carry = lax.cond(pending > 0, one_round, lambda c: c, carry)
+        species, f, acc = carry
+        state = dataclasses.replace(state, species=species)
         state = dataclasses.replace(
             state,
             species=tuple(pboundary.finish_boundary(sp)

@@ -150,20 +150,20 @@ def accumulate_hydro_p(h, sp: SpeciesState, interp, g: Grid):
 
 def sort_p(sp: SpeciesState) -> SpeciesState:
     """Sort particles by voxel (counting-sort analogue of sort_p.c:16-102,
-    here a stable argsort) and compact zombies/free slots to the tail,
-    refreshing ``np``."""
+    here a multi-operand ``lax.sort``) and compact zombies/free slots to the
+    tail, refreshing ``np``.  Assumes mover state (mdx..., pc) is clear,
+    which holds between steps (finish_boundary)."""
     big = jnp.int32(2 ** 30)
     key = jnp.where(sp.alive, sp.i, big)
-    order = jnp.argsort(key, stable=True)
+    key, dx, dy, dz, ux, uy, uz, q = jax.lax.sort(
+        (key, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q),
+        num_keys=1, is_stable=True)
     live = jnp.sum(sp.alive).astype(jnp.int32)
-
-    def g(a):
-        return a[order]
+    in_range = jnp.arange(sp.max_np, dtype=jnp.int32) < live
 
     return sp.replace(
         np=live,
-        dx=g(sp.dx), dy=g(sp.dy), dz=g(sp.dz),
-        i=jnp.where(jnp.arange(sp.max_np) < live, g(sp.i), 0),
-        ux=g(sp.ux), uy=g(sp.uy), uz=g(sp.uz), q=g(sp.q),
-        mdx=g(sp.mdx), mdy=g(sp.mdy), mdz=g(sp.mdz), pc=g(sp.pc),
+        dx=dx, dy=dy, dz=dz,
+        i=jnp.where(in_range, key, 0),
+        ux=ux, uy=uy, uz=uz, q=jnp.where(in_range, q, 0.0),
     )

@@ -3,11 +3,15 @@ migration, and continuation of unfinished streak walks.
 
 TPU re-design of ``boundary_p`` (src/species_advance/standard/boundary_p.c:
 77-505): instead of variable-length mover/injector lists, each species
-carries per-particle boundary codes (``pc``); each comm round packs
-fixed-capacity per-face injector buffers (particle_injector_t analogue,
-species_advance.h:48-55), exchanges them with a face ``ppermute``, injects
-into free slots and re-runs the streak walker.  Mirrors ``num_comm_round``
-(vpic.cxx:17, default 3).
+carries per-particle boundary codes (``pc``); each comm round compacts ALL
+pending particles into one fixed-capacity buffer (the particle_injector_t
+analogue, species_advance.h:48-55), resolves absorption / packs per-face
+migration payloads / re-runs the streak walker on that buffer only, then
+scatters results back.  Mirrors ``num_comm_round`` (vpic.cxx:17, default 3).
+
+Everything here is O(max_np) only for the one mask/compaction pass; all
+physics work is O(max_inj), so rounds with nothing pending cost almost
+nothing.
 """
 
 from __future__ import annotations
@@ -24,8 +28,6 @@ from ..core.types import (
 )
 from .aux import accumulate_rhob
 from .push import PC_EXHAUSTED, WalkState, streak_walk
-
-# injector record: pos(3), u(3), rem(3), q, vox -> packed as dict of arrays
 
 
 def _compact_indices(mask, k: int, max_np: int):
@@ -65,111 +67,162 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
     max_np = sp.max_np
     max_inj = min(max_inj, max_np)
 
-    # ---- 1. absorption: deposit rhob at the boundary position, kill ----
-    absorbed = sp.pc == NEIGHBOR_ABSORB
-    f = accumulate_rhob(f, g, sp.i, sp.q, sp.dx, sp.dy, sp.dz, absorbed)
-    sp = sp.replace(
-        i=jnp.where(absorbed, -1, sp.i),
-        q=jnp.where(absorbed, 0.0, sp.q),
-        pc=jnp.where(absorbed, 0, sp.pc),
-    )
+    # ---- compact every pending particle into one buffer ----
+    pending = sp.alive & (sp.pc != 0)
+    sel, n_pend, valid = _compact_indices(pending, max_inj, max_np)
+    safe = jnp.where(valid, sel, 0)
 
-    # ---- 2. migration: pack per-face injector buffers, exchange, inject --
+    b = dict(
+        dx=sp.dx[safe], dy=sp.dy[safe], dz=sp.dz[safe],
+        vox=sp.i[safe],
+        ux=sp.ux[safe], uy=sp.uy[safe], uz=sp.uz[safe],
+        q=jnp.where(valid, sp.q[safe], 0.0),
+        mdx=sp.mdx[safe], mdy=sp.mdy[safe], mdz=sp.mdz[safe],
+        pc=jnp.where(valid, sp.pc[safe], 0),
+    )
+    # buffer-local liveness (killed by absorb/migration below)
+    b_live = valid
+
+    # ---- 1. absorption: deposit rhob at the boundary position ----
+    absorbed = b["pc"] == NEIGHBOR_ABSORB
+    f = accumulate_rhob(f, g, b["vox"], b["q"], b["dx"], b["dy"], b["dz"],
+                        absorbed)
+    b_live = b_live & ~absorbed
+
+    # ---- 2. migration: per-face injector payloads over the mesh ----
+    recv = None
     if pcomm is not None:
         payloads = {}
-        sel_by_face = {}
         for face in range(6):
             code = NEIGHBOR_MIGRATE_BASE - face
-            mask = sp.pc == code
-            sel, n, valid = _compact_indices(mask, max_inj, max_np)
-            sel_by_face[face] = (sel, n, valid)
-            safe = jnp.where(valid, sel, 0)
+            mask = (b["pc"] == code) & b_live
+            fsel, fn_, fvalid = _compact_indices(mask, max_inj, max_inj)
+            fsafe = jnp.where(fvalid, fsel, 0)
             axis = face % 3
-            pos = [sp.dx[safe], sp.dy[safe], sp.dz[safe]]
-            # flip the crossing coordinate: leave at +1 -> enter at -1
-            pos[axis] = -pos[axis]
+            pos = [b["dx"][fsafe], b["dy"][fsafe], b["dz"][fsafe]]
+            pos[axis] = -pos[axis]    # leave at +1 -> enter at -1
             payloads[face] = dict(
-                dx=jnp.where(valid, pos[0], 0.0),
-                dy=jnp.where(valid, pos[1], 0.0),
-                dz=jnp.where(valid, pos[2], 0.0),
-                ux=sp.ux[safe], uy=sp.uy[safe], uz=sp.uz[safe],
-                q=jnp.where(valid, sp.q[safe], 0.0),
-                mdx=sp.mdx[safe], mdy=sp.mdy[safe], mdz=sp.mdz[safe],
+                dx=jnp.where(fvalid, pos[0], 0.0),
+                dy=jnp.where(fvalid, pos[1], 0.0),
+                dz=jnp.where(fvalid, pos[2], 0.0),
+                ux=b["ux"][fsafe], uy=b["uy"][fsafe], uz=b["uz"][fsafe],
+                q=jnp.where(fvalid, b["q"][fsafe], 0.0),
+                mdx=b["mdx"][fsafe], mdy=b["mdy"][fsafe],
+                mdz=b["mdz"][fsafe],
                 vox=jnp.where(
-                    valid,
-                    _remap_voxel_through_face(g, sp.i[safe], face),
+                    fvalid,
+                    _remap_voxel_through_face(g, b["vox"][fsafe], face),
                     0),
-                n=n,
+                n=fn_,
             )
         recv = pcomm.exchange(payloads)
+        migrated = ((b["pc"] <= NEIGHBOR_MIGRATE_BASE)
+                    & (b["pc"] > NEIGHBOR_MIGRATE_BASE - 6))
+        b_live = b_live & ~migrated
 
-        # kill the migrated particles locally
-        mig = sp.pc <= NEIGHBOR_MIGRATE_BASE
-        mig = mig & (sp.pc > NEIGHBOR_MIGRATE_BASE - 6)
-        sp = sp.replace(
-            i=jnp.where(mig, -1, sp.i),
-            q=jnp.where(mig, 0.0, sp.q),
-            pc=jnp.where(mig, 0, sp.pc),
-        )
+    # ---- 3. walk the still-live pending buffer ----
+    walkable = b_live & (b["pc"] == PC_EXHAUSTED)
+    st = WalkState(
+        x=b["dx"], y=b["dy"], z=b["dz"], vox=b["vox"],
+        ux=b["ux"], uy=b["uy"], uz=b["uz"],
+        rx=b["mdx"], ry=b["mdy"], rz=b["mdz"],
+        q=jnp.where(walkable, b["q"], 0.0),
+        pcode=jnp.zeros((max_inj,), dtype=jnp.int32),
+        active=walkable,
+    )
+    st, acc = streak_walk(st, acc, neighbor, g, n_walk)
 
-        # inject received particles into free slots
+    # merge walk results for walkable lanes; others keep buffer values
+    def mix(walked, kept):
+        return jnp.where(walkable, walked, kept)
+
+    res = dict(
+        dx=mix(st.x, b["dx"]), dy=mix(st.y, b["dy"]),
+        dz=mix(st.z, b["dz"]),
+        vox=mix(st.vox, b["vox"]),
+        ux=mix(st.ux, b["ux"]), uy=mix(st.uy, b["uy"]),
+        uz=mix(st.uz, b["uz"]),
+        pc=jnp.where(walkable, st.pcode, jnp.where(b_live, b["pc"], 0)),
+    )
+    pend_new = res["pc"] != 0
+    res["mdx"] = jnp.where(walkable, jnp.where(pend_new, st.rx, 0.0),
+                           b["mdx"])
+    res["mdy"] = jnp.where(walkable, jnp.where(pend_new, st.ry, 0.0),
+                           b["mdy"])
+    res["mdz"] = jnp.where(walkable, jnp.where(pend_new, st.rz, 0.0),
+                           b["mdz"])
+
+    # dead buffer lanes (absorbed / migrated away) are tombstoned
+    res["vox"] = jnp.where(b_live, res["vox"], -1)
+    res["q"] = jnp.where(b_live, b["q"], 0.0)
+
+    # ---- 4. scatter buffer back into the species SoA ----
+    tgt = jnp.where(valid, sel, max_np)
+
+    def put(arr, key):
+        return arr.at[tgt].set(res[key], mode="drop")
+
+    sp = sp.replace(
+        dx=put(sp.dx, "dx"), dy=put(sp.dy, "dy"), dz=put(sp.dz, "dz"),
+        i=put(sp.i, "vox"),
+        ux=put(sp.ux, "ux"), uy=put(sp.uy, "uy"), uz=put(sp.uz, "uz"),
+        q=put(sp.q, "q"),
+        mdx=put(sp.mdx, "mdx"), mdy=put(sp.mdy, "mdy"),
+        mdz=put(sp.mdz, "mdz"), pc=put(sp.pc, "pc"),
+    )
+
+    # ---- 5. inject received migrants into free slots ----
+    if recv is not None:
         for face in range(6):
             r = recv.get(face)
             if r is None:
                 continue
+            k = r["q"].shape[0]
             n_inj = r["n"]
-            slot = sp.np + jnp.arange(max_inj, dtype=jnp.int32)
-            ok = (jnp.arange(max_inj, dtype=jnp.int32) < n_inj) & (slot < max_np)
-            tgt = jnp.where(ok, slot, max_np)
+            slot = sp.np + jnp.arange(k, dtype=jnp.int32)
+            ok = (jnp.arange(k, dtype=jnp.int32) < n_inj) & (slot < max_np)
+            tgt2 = jnp.where(ok, slot, max_np)
 
-            def put(arr, vals):
-                return arr.at[tgt].set(vals, mode="drop")
+            def put2(arr, vals):
+                return arr.at[tgt2].set(vals, mode="drop")
 
             sp = sp.replace(
-                dx=put(sp.dx, r["dx"]), dy=put(sp.dy, r["dy"]),
-                dz=put(sp.dz, r["dz"]),
-                ux=put(sp.ux, r["ux"]), uy=put(sp.uy, r["uy"]),
-                uz=put(sp.uz, r["uz"]),
-                q=put(sp.q, r["q"]), i=put(sp.i, r["vox"]),
-                mdx=put(sp.mdx, r["mdx"]), mdy=put(sp.mdy, r["mdy"]),
-                mdz=put(sp.mdz, r["mdz"]),
-                pc=put(sp.pc, jnp.full((max_inj,), PC_EXHAUSTED, jnp.int32)),
-                np=jnp.minimum(sp.np + jnp.sum(ok).astype(jnp.int32), max_np),
+                dx=put2(sp.dx, r["dx"]), dy=put2(sp.dy, r["dy"]),
+                dz=put2(sp.dz, r["dz"]),
+                ux=put2(sp.ux, r["ux"]), uy=put2(sp.uy, r["uy"]),
+                uz=put2(sp.uz, r["uz"]),
+                q=put2(sp.q, r["q"]), i=put2(sp.i, r["vox"]),
+                mdx=put2(sp.mdx, r["mdx"]), mdy=put2(sp.mdy, r["mdy"]),
+                mdz=put2(sp.mdz, r["mdz"]),
+                pc=put2(sp.pc, jnp.full((k,), PC_EXHAUSTED, jnp.int32)),
+                np=jnp.minimum(sp.np + jnp.sum(ok).astype(jnp.int32),
+                               max_np),
+            )
+            # continue the migrants' walks in the same round
+            mig_valid = ok
+            st = WalkState(
+                x=r["dx"], y=r["dy"], z=r["dz"],
+                vox=jnp.where(mig_valid, r["vox"], 0),
+                ux=r["ux"], uy=r["uy"], uz=r["uz"],
+                rx=r["mdx"], ry=r["mdy"], rz=r["mdz"],
+                q=jnp.where(mig_valid, r["q"], 0.0),
+                pcode=jnp.zeros((k,), dtype=jnp.int32),
+                active=mig_valid,
+            )
+            st, acc = streak_walk(st, acc, neighbor, g, n_walk)
+            pnew = st.pcode != 0
+            sp = sp.replace(
+                dx=put2(sp.dx, st.x), dy=put2(sp.dy, st.y),
+                dz=put2(sp.dz, st.z),
+                i=put2(sp.i, st.vox),
+                ux=put2(sp.ux, st.ux), uy=put2(sp.uy, st.uy),
+                uz=put2(sp.uz, st.uz),
+                mdx=put2(sp.mdx, jnp.where(pnew, st.rx, 0.0)),
+                mdy=put2(sp.mdy, jnp.where(pnew, st.ry, 0.0)),
+                mdz=put2(sp.mdz, jnp.where(pnew, st.rz, 0.0)),
+                pc=put2(sp.pc, st.pcode),
             )
 
-    # ---- 3. continue unfinished walks (incl. freshly injected) ----
-    pending = sp.alive & (sp.pc == PC_EXHAUSTED)
-    sel, n, valid = _compact_indices(pending, max_inj, max_np)
-    safe = jnp.where(valid, sel, 0)
-    st = WalkState(
-        pos=jnp.stack([sp.dx[safe], sp.dy[safe], sp.dz[safe]], axis=-1),
-        vox=sp.i[safe],
-        u=jnp.stack([sp.ux[safe], sp.uy[safe], sp.uz[safe]], axis=-1),
-        rem=jnp.stack([sp.mdx[safe], sp.mdy[safe], sp.mdz[safe]], axis=-1),
-        q=jnp.where(valid, sp.q[safe], 0.0),
-        pcode=jnp.zeros((max_inj,), dtype=jnp.int32),
-        active=valid,
-    )
-    st, acc = streak_walk(st, acc, neighbor, n_walk)
-
-    tgt = jnp.where(valid, sel, max_np)
-    pend_new = st.pcode != 0
-    sp = sp.replace(
-        dx=sp.dx.at[tgt].set(st.pos[:, 0], mode="drop"),
-        dy=sp.dy.at[tgt].set(st.pos[:, 1], mode="drop"),
-        dz=sp.dz.at[tgt].set(st.pos[:, 2], mode="drop"),
-        i=sp.i.at[tgt].set(st.vox, mode="drop"),
-        ux=sp.ux.at[tgt].set(st.u[:, 0], mode="drop"),
-        uy=sp.uy.at[tgt].set(st.u[:, 1], mode="drop"),
-        uz=sp.uz.at[tgt].set(st.u[:, 2], mode="drop"),
-        mdx=sp.mdx.at[tgt].set(
-            jnp.where(pend_new, st.rem[:, 0], 0.0), mode="drop"),
-        mdy=sp.mdy.at[tgt].set(
-            jnp.where(pend_new, st.rem[:, 1], 0.0), mode="drop"),
-        mdz=sp.mdz.at[tgt].set(
-            jnp.where(pend_new, st.rem[:, 2], 0.0), mode="drop"),
-        pc=sp.pc.at[tgt].set(st.pcode, mode="drop"),
-    )
     return sp, f, acc
 
 

@@ -77,104 +77,143 @@ def boris_rotation(ux, uy, uz, cbx, cby, cbz, v0):
     return ux, uy, uz
 
 
-def deposit12(q, sd, sm):
+def deposit12_cols(q, sdx, sdy, sdz, smx, smy, smz):
     """Quadrant current contributions for a streak with half-displacement
-    ``sd`` (n,3) and midpoint ``sm`` (n,3): the ACCUMULATE_J macro
-    (advance_p.cxx:140-158), all three axis permutations -> (n, 12)."""
+    (sdx,sdy,sdz) and midpoint (smx,smy,smz): the ACCUMULATE_J macro
+    (advance_p.cxx:140-158), all three axis permutations.  Returns a tuple
+    of 12 (n,) arrays (kept 1D to avoid TPU lane padding)."""
     one = jnp.float32(1.0)
-    v5 = q * sd[:, 0] * sd[:, 1] * sd[:, 2] * jnp.float32(ONE_THIRD)
+    v5 = q * sdx * sdy * sdz * jnp.float32(ONE_THIRD)
+    sd = (sdx, sdy, sdz)
+    sm = (smx, smy, smz)
     cols = []
     for X, Y, Z in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
-        vX = q * sd[:, X]
-        my, mz = sm[:, Y], sm[:, Z]
-        a0 = vX * (one - my) * (one - mz) + v5
-        a1 = vX * (one + my) * (one - mz) - v5
-        a2 = vX * (one - my) * (one + mz) - v5
-        a3 = vX * (one + my) * (one + mz) + v5
-        cols += [a0, a1, a2, a3]
+        vX = q * sd[X]
+        my, mz = sm[Y], sm[Z]
+        cols += [
+            vX * (one - my) * (one - mz) + v5,
+            vX * (one + my) * (one - mz) - v5,
+            vX * (one - my) * (one + mz) - v5,
+            vX * (one + my) * (one + mz) + v5,
+        ]
+    return tuple(cols)
+
+
+def deposit12(q, sd, sm):
+    """(n,3)-input wrapper returning (n, 12) rows (for scatter paths)."""
+    cols = deposit12_cols(q, sd[:, 0], sd[:, 1], sd[:, 2],
+                          sm[:, 0], sm[:, 1], sm[:, 2])
     return jnp.stack(cols, axis=-1)
 
 
 class WalkState(NamedTuple):
-    pos: jax.Array    # (m, 3) cell-relative position
-    vox: jax.Array    # (m,) voxel
-    u: jax.Array      # (m, 3) momentum (mutated by reflections)
-    rem: jax.Array    # (m, 3) remaining half-displacement
-    q: jax.Array      # (m,)
-    pcode: jax.Array  # (m,) int32
-    active: jax.Array # (m,) bool
+    """Streak-walker state, all-1D SoA (no (n,3) stacking: TPU pads small
+    trailing dims to 128 lanes at fusion boundaries)."""
+    x: jax.Array; y: jax.Array; z: jax.Array        # cell-relative position
+    vox: jax.Array                                  # voxel
+    ux: jax.Array; uy: jax.Array; uz: jax.Array     # momentum
+    rx: jax.Array; ry: jax.Array; rz: jax.Array     # remaining half-disp
+    q: jax.Array
+    pcode: jax.Array
+    active: jax.Array
 
 
-def streak_walk(st: WalkState, acc, neighbor, n_iter: int):
-    """Run up to ``n_iter`` streak-split segments per particle, depositing
-    each segment's quadrant currents (move_p.c:34-134)."""
+def _neighbor_lookup(vox, face, done, neighbor, g):
+    """neighbor[vox, face].  Row-gather of the 6-entry neighbor row (row
+    gathers amortize far better than per-element gathers on TPU), then a
+    lane select of the face."""
+    rows = neighbor[vox]                      # (n, 6) row gather
+    face_oh = face[:, None] == jnp.arange(6, dtype=face.dtype)[None, :]
+    return jnp.sum(jnp.where(face_oh, rows, 0), axis=1).astype(vox.dtype)
+
+
+def walk_segment(st: WalkState, neighbor, g):
+    """One streak-split segment for every lane (the loop body of
+    move_p.c:34-134).  Returns (new_state, dep_vox, contrib_cols): the
+    quadrant current contributions of this segment as 12 (n,) arrays
+    (zero for inactive lanes), deposited at the PRE-crossing voxel."""
     big = jnp.float32(3.4e38)
     one = jnp.float32(1.0)
 
+    pos = (st.x, st.y, st.z)
+    rem = (st.rx, st.ry, st.rz)
+    u = (st.ux, st.uy, st.uz)
+
+    sdir = tuple(jnp.where(r > 0, one, -one) for r in rem)
+    frac2 = tuple(
+        jnp.where(r == 0, big, (d - p) / r)
+        for r, d, p in zip(rem, sdir, pos))
+    # sequential min with later-axis tie priority (move_p.c:59-62)
+    v3 = jnp.full_like(st.q, 2.0)
+    stype = jnp.full_like(st.vox, 3)
+    for a in range(3):
+        hit = frac2[a] < v3
+        v3 = jnp.where(hit, frac2[a], v3)
+        stype = jnp.where(hit, a, stype)
+    v3 = v3 * jnp.float32(0.5)
+
+    sd = tuple(r * v3 for r in rem)
+    sm = tuple(p + d for p, d in zip(pos, sd))
+
+    q_eff = jnp.where(st.active, st.q, jnp.float32(0.0))
+    contrib = deposit12_cols(q_eff, *sd, *sm)
+    dep_vox = jnp.where(st.active, st.vox, 0)
+
+    rem_new = tuple(r - d for r, d in zip(rem, sd))
+    pos_new = tuple(p + 2.0 * d for p, d in zip(pos, sd))
+
+    done = stype == 3
+    # face = type + 3*(dir>0)  (move_p.c:123)
+    hit_ax = tuple(stype == a for a in range(3))
+    dir_hit = sum(jnp.where(h, d, 0.0) for h, d in zip(hit_ax, sdir))
+    face = stype + jnp.where(dir_hit > 0, 3, 0)
+
+    # Neighbor resolution: voxels strictly interior to the shard cross to
+    # vox +/- stride analytically; only edge-cell crossings (a tiny
+    # fraction) consult the table.  This keeps the (expensive on TPU)
+    # per-element gather off the main path.
+    nb = _neighbor_lookup(st.vox, face, done, neighbor, g)
+
+    crossed = (~done) & (nb >= 0) & st.active
+    reflected = (~done) & (nb == NEIGHBOR_REFLECT) & st.active
+    stopped = (~done) & (nb < 0) & (nb != NEIGHBOR_REFLECT) & st.active
+
+    out_pos, out_rem, out_u = [], [], []
+    for a in range(3):
+        h = hit_ax[a]
+        # crossing flips the coordinate; boundary hits land exactly on it
+        pa = jnp.where(crossed & h, -dir_hit,
+                       jnp.where((reflected | stopped) & h, dir_hit,
+                                 pos_new[a]))
+        ra = jnp.where(reflected & h, -rem_new[a], rem_new[a])
+        ua = jnp.where(reflected & h, -u[a], u[a])
+        out_pos.append(jnp.where(st.active, pa, pos[a]))
+        out_rem.append(jnp.where(st.active, ra, rem[a]))
+        out_u.append(jnp.where(st.active, ua, u[a]))
+
+    vox_out = jnp.where(crossed, nb, st.vox)
+    pcode_out = jnp.where(stopped, nb, st.pcode)
+    active_out = st.active & ~(done | stopped)
+
+    st = WalkState(
+        x=out_pos[0], y=out_pos[1], z=out_pos[2],
+        vox=vox_out,
+        ux=out_u[0], uy=out_u[1], uz=out_u[2],
+        rx=out_rem[0], ry=out_rem[1], rz=out_rem[2],
+        q=st.q, pcode=pcode_out, active=active_out,
+    )
+    return st, dep_vox, contrib
+
+
+def streak_walk(st: WalkState, acc, neighbor, g, n_iter: int):
+    """Run up to ``n_iter`` streak-split segments per particle, depositing
+    each segment's quadrant currents via scatter-add (move_p.c:34-134)."""
+
     def body(_, carry):
         st, acc = carry
-        pos, vox, u, rem, q, pcode, active = st
-
-        sdir = jnp.where(rem > 0, one, -one)
-        frac2 = jnp.where(rem == 0, big, (sdir - pos) / rem)
-        # sequential min with later-axis tie priority (move_p.c:59-62)
-        v3 = jnp.full_like(q, 2.0)
-        stype = jnp.full_like(vox, 3)
-        for a in range(3):
-            hit = frac2[:, a] < v3
-            v3 = jnp.where(hit, frac2[:, a], v3)
-            stype = jnp.where(hit, a, stype)
-        v3 = v3 * jnp.float32(0.5)
-
-        sd = rem * v3[:, None]
-        sm = pos + sd
-
-        q_eff = jnp.where(active, q, jnp.float32(0.0))
-        contrib = deposit12(q_eff, sd, sm)
-        acc = acc.at[jnp.where(active, vox, 0)].add(
-            contrib, mode="promise_in_bounds")
-
-        rem_new = rem - sd
-        pos_new = pos + 2.0 * sd
-
-        done = stype == 3
-        # face = type + 3*(dir>0)  (move_p.c:123)
-        axis_oh = stype[:, None] == jnp.arange(3, dtype=stype.dtype)[None, :]
-        dir_hit = jnp.sum(jnp.where(axis_oh, sdir, 0.0), axis=1)
-        face = stype + jnp.where(dir_hit > 0, 3, 0)
-        nb = neighbor[vox, jnp.where(done, 0, face) % 6]
-
-        crossed_local = (~done) & (nb >= 0)
-        reflected = (~done) & (nb == NEIGHBOR_REFLECT)
-        stopped = (~done) & (nb < 0) & (nb != NEIGHBOR_REFLECT)
-
-        # local crossing: switch voxel, flip the crossing coordinate
-        pos_cross = jnp.where(axis_oh, -dir_hit[:, None], pos_new)
-        # boundary hit: place exactly on the boundary
-        pos_stop = jnp.where(axis_oh, dir_hit[:, None], pos_new)
-
-        pos_out = jnp.where(
-            (crossed_local & active)[:, None], pos_cross,
-            jnp.where(((reflected | stopped) & active)[:, None], pos_stop,
-                      pos_new))
-        vox_out = jnp.where(crossed_local & active, nb, vox)
-        u_out = jnp.where((reflected & active)[:, None],
-                          jnp.where(axis_oh, -u, u), u)
-        rem_out = jnp.where((reflected & active)[:, None],
-                            jnp.where(axis_oh, -rem_new, rem_new), rem_new)
-
-        pcode_out = jnp.where(stopped & active, nb, pcode)
-        active_out = active & ~(done | stopped)
-
-        st = WalkState(
-            pos=jnp.where(active[:, None], pos_out, pos),
-            vox=jnp.where(active, vox_out, vox),
-            u=jnp.where(active[:, None], u_out, u),
-            rem=jnp.where(active[:, None], rem_out, rem),
-            q=q,
-            pcode=jnp.where(active, pcode_out, pcode),
-            active=active_out,
-        )
+        st, dep_vox, contrib = walk_segment(st, neighbor, g)
+        acc = acc.at[dep_vox].add(jnp.stack(contrib, axis=-1),
+                                  mode="promise_in_bounds")
         return st, acc
 
     st, acc = jax.lax.fori_loop(0, n_iter, body, (st, acc), unroll=True)
@@ -184,15 +223,21 @@ def streak_walk(st: WalkState, acc, neighbor, n_iter: int):
 
 
 def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
-              max_nm: int | None = None, n_walk: int = 4):
+              max_nm: int | None = None, n_walk: int = 4,
+              sorted_deposit: bool = False):
     """One particle push for a whole species.
 
-    Returns (updated species, accumulator).  Out-of-bounds particles finish
-    in the mover buffer; unresolved boundary interactions are stored in
-    (mdx,mdy,mdz, pc-encoded-in-nm...) for the boundary rounds.
+    Segment 1 of the streak walk runs vectorized over ALL particles (for
+    in-bounds particles — the vast majority — it IS the full streak), and
+    its deposition goes through the sorted one-hot-matmul Pallas kernel
+    when ``sorted_deposit`` (requires particles kept sorted by voxel, see
+    deposit_pallas.py) or XLA scatter-add otherwise.  Cell crossers finish
+    in a fixed-capacity compacted mover buffer (particle_mover_t analogue);
+    results merge back by gather (cheaper than scatter on TPU).
     """
     if max_nm is None:
-        max_nm = max(1, sp.max_np // 2)
+        max_nm = max(1, sp.max_np // 8)
+    max_nm = min(max_nm, sp.max_np)
 
     qdt_2mc = (0.5 * sp.q_m * g.dt / g.cvac).astype(jnp.float32)
     cdt_dx = jnp.float32(g.cvac * g.dt * g.rdx)
@@ -200,10 +245,11 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     cdt_dz = jnp.float32(g.cvac * g.dt * g.rdz)
     one = jnp.float32(1.0)
 
-    dx, dy, dz, vox = sp.dx, sp.dy, sp.dz, sp.i
+    alive = sp.alive
+    vox = jnp.where(alive, sp.i, 0)
     ip = interp[vox]
 
-    ex, ey, ez, cbx, cby, cbz = interpolate_fields(ip, dx, dy, dz)
+    ex, ey, ez, cbx, cby, cbz = interpolate_fields(ip, sp.dx, sp.dy, sp.dz)
     hax, hay, haz = qdt_2mc * ex, qdt_2mc * ey, qdt_2mc * ez
 
     ux = sp.ux + hax
@@ -221,78 +267,83 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     ddy = (uy * cdt_dy) * v0
     ddz = (uz * cdt_dz) * v0
 
-    midx, midy, midz = dx + ddx, dy + ddy, dz + ddz
-    newx, newy, newz = midx + ddx, midy + ddy, midz + ddz
-
-    alive = sp.alive
-    inb = (
-        (newx <= one) & (newy <= one) & (newz <= one)
-        & (-newx <= one) & (-newy <= one) & (-newz <= one)
+    # ---- segment 1 for every particle ----
+    st = WalkState(
+        x=sp.dx, y=sp.dy, z=sp.dz, vox=vox,
+        ux=ux, uy=uy, uz=uz, rx=ddx, ry=ddy, rz=ddz,
+        q=sp.q, pcode=jnp.zeros((sp.max_np,), dtype=jnp.int32),
+        active=alive,
     )
-    outb = alive & ~inb
+    st, dep_vox, contrib = walk_segment(st, neighbor, g)
+    if sorted_deposit:
+        from .deposit_pallas import deposit_sorted_into
+        acc, _dropped = deposit_sorted_into(acc, dep_vox, contrib, alive,
+                                            g.nv)
+    else:
+        acc = acc.at[dep_vox].add(jnp.stack(contrib, axis=-1),
+                                  mode="promise_in_bounds")
 
-    # ---- fast path: deposit all in-bounds particles in one pass ----
-    q_eff = jnp.where(alive & inb, sp.q, jnp.float32(0.0))
-    sd = jnp.stack([ddx, ddy, ddz], axis=-1)
-    sm = jnp.stack([midx, midy, midz], axis=-1)
-    acc = acc.at[jnp.where(alive & inb, vox, 0)].add(
-        deposit12(q_eff, sd, sm), mode="promise_in_bounds")
-
-    dx = jnp.where(inb, newx, dx)
-    dy = jnp.where(inb, newy, dy)
-    dz = jnp.where(inb, newz, dz)
-
-    # ---- mover buffer: O(n) prefix-sum compaction of out-of-bounds ----
-    max_nm = min(max_nm, sp.max_np)
-    pos = jnp.cumsum(outb.astype(jnp.int32)) - 1
-    slot = jnp.where(outb & (pos < max_nm), pos, max_nm)
-    sel = jnp.full((max_nm,), sp.max_np, dtype=jnp.int32).at[slot].set(
+    # ---- remaining segments on a compacted mover buffer ----
+    unfinished = st.active
+    pos_c = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
+    n_out = jnp.sum(unfinished).astype(jnp.int32)
+    slot = jnp.where(unfinished & (pos_c < max_nm), pos_c, max_nm)
+    sel = jnp.zeros((max_nm,), jnp.int32).at[slot].set(
         jnp.arange(sp.max_np, dtype=jnp.int32), mode="drop")
-    n_out = jnp.sum(outb).astype(jnp.int32)
     buf_active = jnp.arange(max_nm, dtype=jnp.int32) < jnp.minimum(
         n_out, max_nm)
     sel = jnp.where(buf_active, sel, 0)
+    in_buf = unfinished & (pos_c < max_nm)
+    ignored = unfinished & ~in_buf            # buffer overflow -> rounds
 
-    # overflow particles (beyond buffer capacity) are deferred to the
-    # boundary rounds with their full pending displacement — an improvement
-    # over the reference's drop-with-WARNING (advance_p.cxx:463-465)
-    ignored = outb & (pos >= max_nm)
-
-    st = WalkState(
-        pos=jnp.stack([dx[sel], dy[sel], dz[sel]], axis=-1),
-        vox=vox[sel],
-        u=jnp.stack([ux[sel], uy[sel], uz[sel]], axis=-1),
-        rem=jnp.stack([ddx[sel], ddy[sel], ddz[sel]], axis=-1),
-        q=sp.q[sel],
+    # gather the buffer as packed rows (one row-gather, not 11 1D gathers)
+    full_packed = jnp.stack(
+        [st.x, st.y, st.z, st.ux, st.uy, st.uz, st.rx, st.ry, st.rz,
+         st.vox.astype(jnp.float32), st.q], axis=-1)     # (max_np, 11)
+    bp = full_packed[sel]                                # (max_nm, 11)
+    bst = WalkState(
+        x=bp[:, 0], y=bp[:, 1], z=bp[:, 2],
+        vox=bp[:, 9].astype(jnp.int32),
+        ux=bp[:, 3], uy=bp[:, 4], uz=bp[:, 5],
+        rx=bp[:, 6], ry=bp[:, 7], rz=bp[:, 8],
+        q=jnp.where(buf_active, bp[:, 10], 0.0),
         pcode=jnp.zeros((max_nm,), dtype=jnp.int32),
         active=buf_active,
     )
-    st, acc = streak_walk(st, acc, neighbor, n_walk)
+    bst, acc = streak_walk(bst, acc, neighbor, g, n_walk - 1)
 
-    # scatter walker results back (drop writes for inactive buffer slots)
-    tgt = jnp.where(buf_active, sel, sp.max_np)
-    dx = dx.at[tgt].set(st.pos[:, 0], mode="drop")
-    dy = dy.at[tgt].set(st.pos[:, 1], mode="drop")
-    dz = dz.at[tgt].set(st.pos[:, 2], mode="drop")
-    vox = vox.at[tgt].set(st.vox, mode="drop")
-    ux = ux.at[tgt].set(st.u[:, 0], mode="drop")
-    uy = uy.at[tgt].set(st.u[:, 1], mode="drop")
-    uz = uz.at[tgt].set(st.u[:, 2], mode="drop")
+    # ---- merge: ONE packed row-gather of the buffer results ----
+    rank = jnp.where(in_buf, pos_c, 0)
+    packed = jnp.stack(
+        [bst.x, bst.y, bst.z, bst.ux, bst.uy, bst.uz,
+         bst.rx, bst.ry, bst.rz,
+         bst.vox.astype(jnp.float32),
+         bst.pcode.astype(jnp.float32)], axis=-1)      # (max_nm, 11)
+    got = packed[rank]                                  # (max_np, 11) rows
 
-    # pending boundary interactions -> mover fields
-    pend = st.pcode != PC_DONE
-    mdx = jnp.where(ignored, ddx, 0.0).at[tgt].set(
-        jnp.where(pend, st.rem[:, 0], 0.0), mode="drop")
-    mdy = jnp.where(ignored, ddy, 0.0).at[tgt].set(
-        jnp.where(pend, st.rem[:, 1], 0.0), mode="drop")
-    mdz = jnp.where(ignored, ddz, 0.0).at[tgt].set(
-        jnp.where(pend, st.rem[:, 2], 0.0), mode="drop")
-    pc = jnp.where(ignored, jnp.int32(PC_EXHAUSTED), 0).at[tgt].set(
-        st.pcode, mode="drop")
+    def merge(full, col):
+        return jnp.where(in_buf, got[:, col], full)
 
-    nm = (jnp.sum(pend & buf_active) + jnp.sum(ignored)).astype(jnp.int32)
+    dx = merge(st.x, 0)
+    dy = merge(st.y, 1)
+    dz = merge(st.z, 2)
+    uxo = merge(st.ux, 3)
+    uyo = merge(st.uy, 4)
+    uzo = merge(st.uz, 5)
+    vox_o = jnp.where(in_buf, got[:, 9].astype(jnp.int32), st.vox)
 
-    sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox, ux=ux, uy=uy, uz=uz,
+    pc = jnp.where(ignored, jnp.int32(PC_EXHAUSTED), st.pcode)
+    pc = jnp.where(in_buf, got[:, 10].astype(jnp.int32), pc)
+    pend = pc != PC_DONE
+    mdx = jnp.where(pend, merge(st.rx, 6), 0.0)
+    mdy = jnp.where(pend, merge(st.ry, 7), 0.0)
+    mdz = jnp.where(pend, merge(st.rz, 8), 0.0)
+
+    # keep dead slots dead
+    vox_o = jnp.where(alive, vox_o, sp.i)
+    nm = jnp.sum(alive & pend).astype(jnp.int32)
+
+    sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox_o, ux=uxo, uy=uyo, uz=uzo,
                     mdx=mdx, mdy=mdy, mdz=mdz, pc=pc, nm=nm)
     return sp, acc
 
