@@ -1,0 +1,117 @@
+"""Dump formats (V0 binary golden round-trip) and checkpoint/restore."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.test_smoke import make_warm_plasma
+
+from vpic_tpu.io import dump as iodump
+
+
+def test_field_dump_roundtrip(tmp_path):
+    sim = make_warm_plasma(nx=6, ny=5, nz=4, npart=256)
+    sim.advance(2)
+    base = tmp_path / "fields"
+    sim.dump_fields(str(base))
+    g = sim.grid
+    path = f"{base}.{sim.step_count}.0"
+    with open(path, "rb") as f:
+        hdr = iodump.read_header_v0(f)
+        assert hdr["magic_s"] == 0xCAFE
+        assert hdr["magic_i"] == 0xDEADBEEF
+        assert hdr["dump_type"] == iodump.FIELD_DUMP
+        assert (hdr["nx"], hdr["ny"], hdr["nz"]) == (g.nx, g.ny, g.nz)
+        elem, dims = iodump.read_array_header(f)
+        assert elem == 80 and dims == (g.nxg, g.nyg, g.nzg)
+        rec = np.frombuffer(f.read(), dtype=np.dtype(
+            [("f", "<f4", 16), ("m", "<u2", 8)]))
+    assert rec.shape[0] == g.nv
+    np.testing.assert_array_equal(
+        rec["f"][:, 0], np.asarray(sim.state.field.ex).reshape(-1))
+
+
+def test_particle_dump(tmp_path):
+    sim = make_warm_plasma(nx=4, ny=4, nz=4, npart=512)
+    sim.advance(1)
+    base = tmp_path / "parts"
+    sim.dump_particles("electron", str(base))
+    with open(f"{base}.{sim.step_count}.0", "rb") as f:
+        hdr = iodump.read_header_v0(f)
+        assert hdr["dump_type"] == iodump.PARTICLE_DUMP
+        assert hdr["sp_id"] == 0
+        elem, dims = iodump.read_array_header(f)
+        assert elem == 32
+        rec = np.frombuffer(f.read(), dtype=np.dtype(
+            [("dx", "<f4"), ("dy", "<f4"), ("dz", "<f4"), ("i", "<i4"),
+             ("ux", "<f4"), ("uy", "<f4"), ("uz", "<f4"), ("q", "<f4")]))
+    assert rec.shape[0] == dims[0] == 512
+    assert np.all(np.abs(rec["dx"]) <= 1.0 + 1e-6)
+    assert np.all(rec["q"] != 0)
+
+
+def test_hydro_dump(tmp_path):
+    sim = make_warm_plasma(nx=4, ny=4, nz=4, npart=512)
+    sim.advance(1)
+    base = tmp_path / "hydro"
+    sim.dump_hydro("electron", str(base))
+    g = sim.grid
+    with open(f"{base}.{sim.step_count}.0", "rb") as f:
+        hdr = iodump.read_header_v0(f)
+        assert hdr["dump_type"] == iodump.HYDRO_DUMP
+        elem, dims = iodump.read_array_header(f)
+        assert elem == 64
+        arr = np.frombuffer(f.read(), "<f4").reshape(g.nv, 16)
+    # total charge density integrates to the species charge
+    rho = arr[:, 3].reshape(g.nzg, g.nyg, g.nxg)
+    total = rho[1:g.nz + 1, 1:g.ny + 1, 1:g.nx + 1].sum() \
+        * g.dx * g.dy * g.dz
+    np.testing.assert_allclose(total, -1.0, rtol=1e-3)
+
+
+def test_energies_file(tmp_path):
+    sim = make_warm_plasma(nx=4, ny=4, nz=4, npart=128)
+    fn = tmp_path / "energies.txt"
+    sim.dump_energies(str(fn), append=False)
+    sim.advance(2)
+    sim.dump_energies(str(fn))
+    lines = fn.read_text().splitlines()
+    assert lines[0].startswith("%% Layout")
+    assert "electron" in lines[1]
+    data = [l for l in lines if not l.startswith("%")]
+    assert len(data) == 2
+    assert len(data[0].split()) == 1 + 6 + 1
+
+
+def test_checkpoint_restore_determinism(tmp_path):
+    sim = make_warm_plasma(nx=6, ny=6, nz=1, npart=512, seed=5)
+    sim.advance(3)
+    sim.checkpoint(tmp_path / "ck")
+
+    sim.advance(4)
+    ref = {c: np.asarray(getattr(sim.state.field, c))
+           for c in ("ex", "ey", "cbz")}
+    ref_p = np.asarray(sim.state.species[0].ux)
+
+    sim2 = make_warm_plasma(nx=6, ny=6, nz=1, npart=512, seed=5)
+    sim2.restore(tmp_path / "ck")
+    assert sim2.step_count == 3
+    sim2.advance(4)
+    for c, v in ref.items():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim2.state.field, c)), v, err_msg=c)
+    np.testing.assert_array_equal(np.asarray(sim2.state.species[0].ux),
+                                  ref_p)
+
+
+def test_rotating_checkpointer(tmp_path):
+    from vpic_tpu.io.checkpoint import RotatingCheckpointer
+
+    sim = make_warm_plasma(nx=4, ny=4, nz=1, npart=64)
+    rc = RotatingCheckpointer(tmp_path, quota_hours=1e9)
+    rc.save(sim.state, sim.grid)
+    rc.save(sim.state, sim.grid)
+    rc.save(sim.state, sim.grid)
+    assert rc.latest() is not None
+    assert not rc.over_quota()

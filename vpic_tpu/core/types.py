@@ -358,6 +358,9 @@ class SpeciesState:
     # per-particle boundary status: 0 = settled, 1 = walker exhausted,
     # negative = the neighbor-table boundary code pending resolution
     pc: jax.Array
+    # tracer identification tag (particle_t::tag, species_advance.h:33;
+    # 0 for untagged particles)
+    tag: jax.Array
 
     @classmethod
     def create(cls, name: str, sid: int, q_m: float, max_np: int,
@@ -368,7 +371,7 @@ class SpeciesState:
             name=name, sid=sid, max_np=max_np, sort_interval=sort_interval,
             q_m=jnp.float32(q_m), np=jnp.int32(0), nm=jnp.int32(0),
             dx=zf, dy=zf, dz=zf, i=zi, ux=zf, uy=zf, uz=zf, q=zf,
-            mdx=zf, mdy=zf, mdz=zf, pc=zi,
+            mdx=zf, mdy=zf, mdz=zf, pc=zi, tag=zi,
         )
 
     def replace(self, **kw) -> "SpeciesState":
@@ -406,6 +409,9 @@ class SimState:
     material_grid: Optional[MaterialGrid]
     rng: jax.Array                   # jax.random key
     step: jax.Array                  # scalar int32
+    # per-custom-boundary-handler state pytrees (tally counters, link ring
+    # buffers, ...; boundary/models.py), () when no handlers registered
+    boundary_state: tuple = ()
 
 
 # Interpolator component layout, matching interpolator_t order

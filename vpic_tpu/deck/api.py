@@ -39,6 +39,12 @@ from ..engine.init import initialize_state
 from ..engine.step import StepOptions, make_advance
 from ..field import stencil
 from ..field.slabs import own_slice
+from ..io import checkpoint as ckpt
+from ..io import dump as iodump
+from ..io import energies as ioenergies
+from ..particles import boundary as pboundary
+from ..sf import hydro as sfhydro
+from ..sf import interp as sfinterp
 from ..grid.partition import make_grid_arrays, shard_origin
 from ..particles import aux as paux
 from ..particles import push as ppush
@@ -127,6 +133,8 @@ class Simulation:
         self._energies_fn = None
         self.mesh = None
         self.step_count = 0
+        self._boundary_handlers = []
+        self._emitters = []
 
     # -- units / time ----------------------------------------------------
     def define_units(self, cvac: float, eps0: float):
@@ -189,9 +197,37 @@ class Simulation:
         self.grid = dataclasses.replace(self.grid, fbc=tuple(fbc))
 
     def set_domain_particle_bc(self, face: int, bc):
+        """set_pbc analogue; ``bc`` may be 'periodic'/'absorb'/'reflect', a
+        raw code, or a registered BoundaryHandler."""
+        from ..boundary.models import BoundaryHandler, handler_code
+
+        if isinstance(bc, BoundaryHandler):
+            bc = handler_code(self._boundary_handlers.index(bc), face)
         pbc = list(self.grid.pbc)
         pbc[face] = _PBC_MAP.get(bc, bc)
         self.grid = dataclasses.replace(self.grid, pbc=tuple(pbc))
+
+    def define_boundary(self, handler):
+        """Register a custom particle boundary handler (add_boundary,
+        src/grid/add_boundary.c:9-32); use with set_domain_particle_bc."""
+        self._boundary_handlers.append(handler)
+        return handler
+
+    def define_surface_emitter(self, model, face=None, components=None):
+        """Register a surface emitter (define_surface_emitter,
+        deck_wrapper.cxx:346-463): either all cells on a domain ``face`` or
+        an explicit (vox, face) component list."""
+        from ..emit.models import domain_face_components
+
+        if components is None:
+            assert face is not None
+            vox = domain_face_components(self.grid, face)
+            components = (tuple(vox.tolist()),
+                          tuple([face] * len(vox)))
+        model = dataclasses.replace(model, components=components)
+        model.bind(self.grid)
+        self._emitters.append(model)
+        return model
 
     # -- materials / species ----------------------------------------------
     def define_material(self, name, eps=1.0, mu=1.0, sigma=0.0, zeta=0.0):
@@ -242,7 +278,7 @@ class Simulation:
 
     # -- particles ---------------------------------------------------------
     def inject_particle(self, species, x, y, z, ux, uy, uz, q,
-                        update_rhob=False):
+                        tag=0, update_rhob=False):
         """Vectorized injection (misc.cxx:16-106).  Coordinates are global;
         shard assignment + the robust double-precision global->local
         conversion happen at finalize."""
@@ -253,7 +289,10 @@ class Simulation:
                 np.float64)
         species["batches"].append(dict(
             x=x, y=arr(y), z=arr(z), ux=arr(ux), uy=arr(uy), uz=arr(uz),
-            q=arr(q), update_rhob=bool(update_rhob)))
+            q=arr(q),
+            tag=np.broadcast_to(np.atleast_1d(
+                np.asarray(tag, np.int32)), shape),
+            update_rhob=bool(update_rhob)))
 
     def maxwellian(self, n, ut):
         """n normal momenta with thermal spread ut (mt_{d,f}randn analogue,
@@ -302,7 +341,7 @@ class Simulation:
             sp = SpeciesState.create(h["name"], h["sid"], h["q_m"],
                                      h["max_np"], h["sort_interval"])
             cols = {k: [] for k in ("dx", "dy", "dz", "i", "ux", "uy",
-                                    "uz", "q")}
+                                    "uz", "q", "tag")}
             total = 0
             for b in h["batches"]:
                 own = ((b["x"] >= x0s) & (b["y"] >= y0s) & (b["z"] >= z0s)
@@ -324,6 +363,7 @@ class Simulation:
                 cols["i"].append(vox)
                 for k in ("ux", "uy", "uz", "q"):
                     cols[k].append(b[k][own].astype(np.float32))
+                cols["tag"].append(b["tag"][own].astype(np.int32))
                 n_own = int(own.sum())
                 if b["update_rhob"]:
                     rhob_batches.append(dict(
@@ -353,6 +393,9 @@ class Simulation:
             rng=jax.random.key(
                 self.seed * 65537 + (sx + g.gpx * (sy + g.gpy * sz))),
             step=jnp.int32(0),
+            boundary_state=tuple(
+                h.init_state(len(self._species))
+                for h in self._boundary_handlers),
         )
         for b in rhob_batches:
             state = dataclasses.replace(state, field=paux.accumulate_rhob(
@@ -364,6 +407,7 @@ class Simulation:
         return state
 
     def finalize(self, devices=None, **hooks):
+        self._hooks = hooks
         g = self.grid
         assert g is not None, "define a grid first"
         if not self.materials:
@@ -380,7 +424,9 @@ class Simulation:
             state = dist.shard_state(state, self.mesh)
             state = dist.make_distributed_init(g, self.mesh)(state)
             self._advance_fn = dist.make_distributed_advance(
-                g, self.mesh, opts=self.opts, **hooks)
+                g, self.mesh, opts=self.opts,
+                boundary_handlers=tuple(self._boundary_handlers),
+                emitters=tuple(self._emitters), **hooks)
             self.comm = ShardComm(g, dist._axis_names_for(g))
         else:
             state = self._build_shard_state((0, 0, 0), mat)
@@ -388,7 +434,9 @@ class Simulation:
             state = jax.jit(
                 lambda s: initialize_state(s, g, self.comm))(state)
             self._advance_fn = jax.jit(make_advance(
-                g, self.comm, pcomm=None, opts=self.opts, **hooks))
+                g, self.comm, pcomm=None, opts=self.opts,
+                boundary_handlers=tuple(self._boundary_handlers),
+                emitters=tuple(self._emitters), **hooks))
         self.state = state
         return state
 
@@ -441,3 +489,122 @@ class Simulation:
         for h, e in zip(self._species, ep):
             out[h["name"]] = float(e) * (g.cvac * g.cvac / h["q_m"])
         return out
+
+    # -- dumps (reference-compatible V0 binary + energies text) ----------
+    def _shard_states(self):
+        """Yield (shard, rank, per-shard SimState as host arrays)."""
+        g = self.grid
+        st = jax.device_get(self.state)
+        nproc = g.gpx * g.gpy * g.gpz
+        if not g.is_multishard:
+            yield (0, 0, 0), 0, st
+            return
+        rank = 0
+        for sz in range(g.gpz):
+            for sy in range(g.gpy):
+                for sx in range(g.gpx):
+                    shard_state = jax.tree.map(
+                        lambda a: a[sz, sy, sx], st)
+                    yield (sx, sy, sz), rank, shard_state
+                    rank += 1
+
+    def dump_energies(self, fname, append=True):
+        """dump.cxx:37-78."""
+        g = self.grid
+        e = self.energies()
+        field_en = [e[k] for k in ("ex", "ey", "ez", "bx", "by", "bz")]
+        sp_en = {h["name"]: e[h["name"]] for h in self._species}
+        ioenergies.dump_energies(fname, self.step_count, field_en, sp_en,
+                                 g.dt, append)
+
+    def dump_fields(self, fbase, ftag=True):
+        g = self.grid
+        nproc = g.gpx * g.gpy * g.gpz
+        for shard, rank, st in self._shard_states():
+            iodump.dump_fields(st, g, fbase, self.step_count, shard, rank,
+                               nproc, ftag)
+
+    def dump_grid(self, fbase):
+        g = self.grid
+        nproc = g.gpx * g.gpy * g.gpz
+        for shard, rank, st in self._shard_states():
+            iodump.dump_grid(st, g, fbase, shard, rank, nproc)
+
+    def dump_hydro(self, sp_name, fbase, ftag=True):
+        """clear+accumulate+synchronize hydro then write (dump.cxx:224-265)."""
+        g = self.grid
+        nproc = g.gpx * g.gpy * g.gpz
+        h = self._species_by_name(sp_name)
+
+        @jax.jit
+        def compute(st):
+            hy = sfhydro.clear_hydro(g)
+            sp = st.species[h["sid"]]
+            hy = paux.accumulate_hydro_p(hy, sp, st.interpolator, g)
+            return hy
+
+        from ..comm.facecomm import LocalComm
+        for shard, rank, st in self._shard_states():
+            hy = compute(st)
+            hy = sfhydro.synchronize_hydro(hy, g, LocalComm(g)) \
+                if not g.is_multishard else hy
+            iodump.dump_hydro(np.asarray(hy), g, fbase, self.step_count,
+                              h["sid"], h["q_m"], shard, rank, nproc, ftag)
+
+    def dump_particles(self, sp_name, fbase, ftag=True):
+        """Time-centered particle dump (dump.cxx:267-325)."""
+        g = self.grid
+        nproc = g.gpx * g.gpy * g.gpz
+        h = self._species_by_name(sp_name)
+
+        @jax.jit
+        def centered(st):
+            sp = st.species[h["sid"]]
+            return ppush.center_p(sp, st.interpolator, g)
+
+        for shard, rank, st in self._shard_states():
+            sp_c = centered(st)
+            iodump.dump_particles(sp_c, g, fbase, self.step_count,
+                                  shard, rank, nproc, ftag)
+
+    def _species_by_name(self, name):
+        for h in self._species:
+            if h["name"] == name:
+                return h
+        raise KeyError(f"no species {name!r}")
+
+    # -- checkpoint / restart ---------------------------------------------
+    def checkpoint(self, path, extra=None):
+        """Versioned pytree checkpoint (replaces dump_restart,
+        dump.cxx:333-556)."""
+        meta = dict(step_count=self.step_count,
+                    opts=dataclasses.asdict(self.opts))
+        meta.update(extra or {})
+        return ckpt.save_checkpoint(path, self.state, self.grid, meta)
+
+    def restore(self, path):
+        """Load a checkpoint saved by :meth:`checkpoint` into this
+        (identically configured) simulation."""
+        meta = ckpt.load_meta(path)
+        self.state = ckpt.load_checkpoint(path, self.state)
+        self.step_count = meta["extra"].get("step_count",
+                                            int(self.state.step))
+        return self.state
+
+    def modify_runparams(self, **kw):
+        """Runtime overrides without re-finalizing physics state
+        (modify_runparams, dump.cxx:824-890): num_step, intervals, etc."""
+        opt_fields = {f.name for f in dataclasses.fields(self.opts)}
+        opt_kw = {k: v for k, v in kw.items() if k in opt_fields}
+        if "num_step" in kw:
+            self.num_step = kw["num_step"]
+        if opt_kw:
+            self.opts = dataclasses.replace(self.opts, **opt_kw)
+            g = self.grid
+            if g.is_multishard:
+                self._advance_fn = dist.make_distributed_advance(
+                    g, self.mesh, opts=self.opts, **self._hooks)
+            else:
+                self._advance_fn = jax.jit(make_advance(
+                    g, self.comm, pcomm=None, opts=self.opts,
+                    **self._hooks))

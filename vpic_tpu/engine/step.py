@@ -110,6 +110,7 @@ def make_advance(
     user_current_injection: Optional[Callable] = None,
     user_field_injection: Optional[Callable] = None,
     emitters: tuple = (),
+    boundary_handlers: tuple = (),
 ):
     """Build the (jittable) advance function for a fixed configuration.
     The ``user_*`` hooks are jax-traceable callbacks
@@ -163,23 +164,29 @@ def make_advance(
         # Each round runs under a cond on the GLOBAL pending count (psum ->
         # uniform across shards, so collectives inside never diverge); a
         # step with no boundary interactions skips the rounds entirely.
+        rng, sub = jax.random.split(state.rng)
+        state = dataclasses.replace(state, rng=rng)
+
         def one_round(carry):
-            species, f, acc = carry
+            species, f, acc, bstate, key = carry
             out = []
             for sp in species:
-                sp, f, acc = pboundary.process_boundary(
-                    sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk)
+                key, k2 = jax.random.split(key)
+                sp, f, acc, bstate = pboundary.process_boundary(
+                    sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk,
+                    handlers=boundary_handlers, bstate=bstate, key=k2)
                 out.append(sp)
-            return (tuple(out), f, acc)
+            return (tuple(out), f, acc, bstate, key)
 
-        carry = (state.species, f, acc)
+        carry = (state.species, f, acc, state.boundary_state, sub)
         for _ in range(opts.num_comm_round):
             pending = sum(
                 jnp.sum(sp.alive & (sp.pc != 0)) for sp in carry[0])
             pending = comm.allsum(pending.astype(jnp.int32))
             carry = lax.cond(pending > 0, one_round, lambda c: c, carry)
-        species, f, acc = carry
-        state = dataclasses.replace(state, species=species)
+        species, f, acc, bstate, _ = carry
+        state = dataclasses.replace(state, species=species,
+                                    boundary_state=bstate)
         state = dataclasses.replace(
             state,
             species=tuple(pboundary.finish_boundary(sp)

@@ -155,8 +155,8 @@ def sort_p(sp: SpeciesState) -> SpeciesState:
     which holds between steps (finish_boundary)."""
     big = jnp.int32(2 ** 30)
     key = jnp.where(sp.alive, sp.i, big)
-    key, dx, dy, dz, ux, uy, uz, q = jax.lax.sort(
-        (key, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q),
+    key, dx, dy, dz, ux, uy, uz, q, tag = jax.lax.sort(
+        (key, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q, sp.tag),
         num_keys=1, is_stable=True)
     live = jnp.sum(sp.alive).astype(jnp.int32)
     in_range = jnp.arange(sp.max_np, dtype=jnp.int32) < live
@@ -166,4 +166,5 @@ def sort_p(sp: SpeciesState) -> SpeciesState:
         dx=dx, dy=dy, dz=dz,
         i=jnp.where(in_range, key, 0),
         ux=ux, uy=uy, uz=uz, q=jnp.where(in_range, q, 0.0),
+        tag=jnp.where(in_range, tag, 0),
     )

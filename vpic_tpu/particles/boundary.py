@@ -62,8 +62,10 @@ def _remap_voxel_through_face(g: Grid, vox, face: int):
 
 
 def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
-                     g: Grid, pcomm, max_inj: int, n_walk: int = 4):
-    """One boundary round for one species.  Returns (sp, f, acc)."""
+                     g: Grid, pcomm, max_inj: int, n_walk: int = 4,
+                     handlers=(), bstate=(), key=None):
+    """One boundary round for one species.
+    Returns (sp, f, acc, bstate)."""
     max_np = sp.max_np
     max_inj = min(max_inj, max_np)
 
@@ -79,6 +81,7 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
         q=jnp.where(valid, sp.q[safe], 0.0),
         mdx=sp.mdx[safe], mdy=sp.mdy[safe], mdz=sp.mdz[safe],
         pc=jnp.where(valid, sp.pc[safe], 0),
+        tag=sp.tag[safe],
     )
     # buffer-local liveness (killed by absorb/migration below)
     b_live = valid
@@ -88,6 +91,20 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
     f = accumulate_rhob(f, g, b["vox"], b["q"], b["dx"], b["dy"], b["dz"],
                         absorbed)
     b_live = b_live & ~absorbed
+
+    # ---- 1b. custom boundary handlers (boundary/models.py) ----
+    if handlers:
+        from ..boundary.models import decode_handler
+        import jax as _jax
+        hid, hface = decode_handler(b["pc"])
+        bstate = list(bstate)
+        keys = _jax.random.split(key, len(handlers))
+        for hi, handler in enumerate(handlers):
+            hmask = b_live & (b["pc"] <= -9) & (hid == hi)
+            b, f, bstate[hi], killed = handler.apply(
+                keys[hi], b, hmask, hface, f, g, sp.sid, bstate[hi])
+            b_live = b_live & ~killed
+        bstate = tuple(bstate)
 
     # ---- 2. migration: per-face injector payloads over the mesh ----
     recv = None
@@ -108,7 +125,7 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
                 ux=b["ux"][fsafe], uy=b["uy"][fsafe], uz=b["uz"][fsafe],
                 q=jnp.where(fvalid, b["q"][fsafe], 0.0),
                 mdx=b["mdx"][fsafe], mdy=b["mdy"][fsafe],
-                mdz=b["mdz"][fsafe],
+                mdz=b["mdz"][fsafe], tag=b["tag"][fsafe],
                 vox=jnp.where(
                     fvalid,
                     _remap_voxel_through_face(g, b["vox"][fsafe], face),
@@ -155,6 +172,7 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
     # dead buffer lanes (absorbed / migrated away) are tombstoned
     res["vox"] = jnp.where(b_live, res["vox"], -1)
     res["q"] = jnp.where(b_live, b["q"], 0.0)
+    res["tag"] = b["tag"]
 
     # ---- 4. scatter buffer back into the species SoA ----
     tgt = jnp.where(valid, sel, max_np)
@@ -169,6 +187,7 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
         q=put(sp.q, "q"),
         mdx=put(sp.mdx, "mdx"), mdy=put(sp.mdy, "mdy"),
         mdz=put(sp.mdz, "mdz"), pc=put(sp.pc, "pc"),
+        tag=put(sp.tag, "tag"),
     )
 
     # ---- 5. inject received migrants into free slots ----
@@ -193,7 +212,7 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
                 uz=put2(sp.uz, r["uz"]),
                 q=put2(sp.q, r["q"]), i=put2(sp.i, r["vox"]),
                 mdx=put2(sp.mdx, r["mdx"]), mdy=put2(sp.mdy, r["mdy"]),
-                mdz=put2(sp.mdz, r["mdz"]),
+                mdz=put2(sp.mdz, r["mdz"]), tag=put2(sp.tag, r["tag"]),
                 pc=put2(sp.pc, jnp.full((k,), PC_EXHAUSTED, jnp.int32)),
                 np=jnp.minimum(sp.np + jnp.sum(ok).astype(jnp.int32),
                                max_np),
@@ -223,7 +242,7 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
                 pc=put2(sp.pc, st.pcode),
             )
 
-    return sp, f, acc
+    return sp, f, acc, bstate
 
 
 def finish_boundary(sp: SpeciesState) -> SpeciesState:
