@@ -18,10 +18,10 @@ import numpy as np
 def main():
     import jax
 
-    npart = int(os.environ.get("BENCH_NPART", 2_000_000))
-    nx = int(os.environ.get("BENCH_NX", 256))
-    ny = int(os.environ.get("BENCH_NY", 256))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
+    npart = int(os.environ.get("BENCH_NPART", 4_000_000))
+    nx = int(os.environ.get("BENCH_NX", 128))
+    ny = int(os.environ.get("BENCH_NY", 128))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build

@@ -126,6 +126,7 @@ class Simulation:
         self.materials: List[_Material] = []
         self._species: List[dict] = []
         self._field_sets: List[tuple] = []
+        self._material_regions: List[tuple] = []
         self.rng = np.random.default_rng(seed)
         self.state: Optional[SimState] = None
         self.opts = StepOptions()
@@ -269,6 +270,13 @@ class Simulation:
         Z, Y, X = np.meshgrid(axes[2], axes[1], axes[0], indexing="ij")
         return X, Y, Z
 
+    def set_region_material(self, region_fn, material):
+        """Assign ``material`` to every material-id sublattice point whose
+        position satisfies ``region_fn(x,y,z)`` (set_region_material,
+        deck_wrapper.cxx:119-227: ids are set per edge/node/face/cell
+        sub-lattice)."""
+        self._material_regions.append((region_fn, material.id))
+
     def set_field(self, comp: str, fn):
         """Register comp = fn(x, y, z) over its owned sublattice (the
         set_region_field analogue, deck_wrapper.cxx:228-345; fold regions
@@ -324,6 +332,37 @@ class Simulation:
 
         f = FieldState.zeros(g).replace(
             **{k: jnp.asarray(v) for k, v in field_np.items()})
+
+        matg = None
+        if self._material_regions:
+            id_kinds = dict(
+                ematx="ex", ematy="ey", ematz="ez", nmat="rhof",
+                fmatx="cbx", fmaty="cby", fmatz="cbz", cmat=None)
+            ids = {}
+            for name, comp in id_kinds.items():
+                arr = np.zeros(g.shape, np.int32)
+                if comp is None:   # cell centers
+                    xs = [g.gx0 + (np.arange(1, g.nx + 1)
+                                   + shard[0] * g.nx - 0.5) * g.dx,
+                          g.gy0 + (np.arange(1, g.ny + 1)
+                                   + shard[1] * g.ny - 0.5) * g.dy,
+                          g.gz0 + (np.arange(1, g.nz + 1)
+                                   + shard[2] * g.nz - 0.5) * g.dz]
+                    Z, Y, X = np.meshgrid(xs[2], xs[1], xs[0],
+                                          indexing="ij")
+                    ix = (slice(1, g.nz + 1), slice(1, g.ny + 1),
+                          slice(1, g.nx + 1))
+                else:
+                    X, Y, Z = self.component_coords(comp, shard)
+                    ix = tuple(own_slice(g, _KIND_OF[comp], a)
+                               for a in (2, 1, 0))
+                sub = arr[ix] * 0
+                for region_fn, mid in self._material_regions:
+                    inside = np.asarray(region_fn(X, Y, Z), bool)
+                    sub = np.where(inside, np.int32(mid), sub)
+                arr[ix] = sub
+                ids[name] = jnp.asarray(arr)
+            matg = MaterialGrid(**ids)
 
         def cellify(c, c0, c1, n):
             t = n * ((c - c0) / (c1 - c0))
@@ -389,7 +428,7 @@ class Simulation:
             species=tuple(species),
             grid_arrays=make_grid_arrays(g, shard),
             materials=mat,
-            material_grid=None,
+            material_grid=matg,
             rng=jax.random.key(
                 self.seed * 65537 + (sx + g.gpx * (sy + g.gpy * sz))),
             step=jnp.int32(0),
@@ -566,6 +605,23 @@ class Simulation:
             sp_c = centered(st)
             iodump.dump_particles(sp_c, g, fbase, self.step_count,
                                   shard, rank, nproc, ftag)
+
+    def checksum_fields(self):
+        """SHA-1 of the full field state (output_checksum_fields,
+        misc.cxx:109-139)."""
+        from ..core.diagnostics import checksum_fields
+        return checksum_fields(jax.device_get(self.state))
+
+    def checksum_species(self, sp_name):
+        from ..core.diagnostics import checksum_species
+        return checksum_species(jax.device_get(self.state),
+                                self._species_by_name(sp_name)["sid"])
+
+    def time_phases(self, n_steps=3):
+        """Per-phase device timing report (the p/s/g/f/u_time analogue,
+        vpic.hxx:214-218)."""
+        from ..core.diagnostics import time_phases
+        return time_phases(self, n_steps)
 
     def _species_by_name(self, name):
         for h in self._species:

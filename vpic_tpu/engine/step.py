@@ -44,6 +44,9 @@ class StepOptions:
     # accumulator (16, nv_pad) to fit VMEM; None = auto by grid size) and
     # keep particles sorted by voxel every step.
     sorted_deposit: bool | None = None
+    # Fully fused Pallas push kernel (gather+Boris+segment1+deposit in one
+    # kernel; needs interp+acc resident in VMEM; None = auto)
+    fused_push: bool | None = None
 
 
 def _interval_hit(step, interval: int):
@@ -121,9 +124,16 @@ def make_advance(
     if sorted_deposit is None:
         # VMEM budget for the (16, nv_pad) transposed accumulator
         sorted_deposit = g.nv <= 120_000
-    if sorted_deposit and jax.default_backend() == "cpu":
+    fused_push = opts.fused_push
+    if fused_push is None:
+        from ..particles.push_pallas import fused_vmem_ok
+        fused_push = fused_vmem_ok(g.nv)
+    if jax.default_backend() == "cpu":
         # pallas interpret mode is slow; tests run the XLA scatter path
         sorted_deposit = False
+        fused_push = False
+    if fused_push:
+        sorted_deposit = True   # fused kernel requires per-step sorting
 
     def advance(state: SimState) -> SimState:
         f = state.field
@@ -146,11 +156,14 @@ def make_advance(
             state = user_particle_collisions(state)
 
         # -- particle push + current deposition --
+        interp_t = (ppush.make_interp_t(state.interpolator, g)
+                    if fused_push else None)
         species = []
         for sp in state.species:
             sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb, g,
                                       n_walk=opts.n_walk,
-                                      sorted_deposit=sorted_deposit)
+                                      sorted_deposit=sorted_deposit,
+                                      fused=fused_push, interp_t=interp_t)
             species.append(sp)
         state = dataclasses.replace(state, species=tuple(species))
 
@@ -179,9 +192,10 @@ def make_advance(
             return (tuple(out), f, acc, bstate, key)
 
         carry = (state.species, f, acc, state.boundary_state, sub)
-        for _ in range(opts.num_comm_round):
+        for _ in range(opts.num_comm_round if state.species else 0):
             pending = sum(
-                jnp.sum(sp.alive & (sp.pc != 0)) for sp in carry[0])
+                (jnp.sum(sp.alive & (sp.pc != 0)) for sp in carry[0]),
+                start=jnp.int32(0))
             pending = comm.allsum(pending.astype(jnp.int32))
             carry = lax.cond(pending > 0, one_round, lambda c: c, carry)
         species, f, acc, bstate, _ = carry

@@ -162,16 +162,23 @@ def walk_segment(st: WalkState, neighbor, g):
     rem_new = tuple(r - d for r, d in zip(rem, sd))
     pos_new = tuple(p + 2.0 * d for p, d in zip(pos, sd))
 
+    st = resolve_crossing(st, pos, rem, u, pos_new, rem_new, stype, sdir,
+                          neighbor, g)
+    return st, dep_vox, contrib
+
+
+def resolve_crossing(st: WalkState, pos, rem, u, pos_new, rem_new,
+                     stype, sdir, neighbor, g):
+    """The boundary half of a streak segment (move_p.c:112-133): consult
+    the neighbor for the crossed face; local crossing flips the
+    coordinate, reflect flips momentum/displacement, anything else stops
+    with the boundary code."""
     done = stype == 3
     # face = type + 3*(dir>0)  (move_p.c:123)
     hit_ax = tuple(stype == a for a in range(3))
     dir_hit = sum(jnp.where(h, d, 0.0) for h, d in zip(hit_ax, sdir))
     face = stype + jnp.where(dir_hit > 0, 3, 0)
 
-    # Neighbor resolution: voxels strictly interior to the shard cross to
-    # vox +/- stride analytically; only edge-cell crossings (a tiny
-    # fraction) consult the table.  This keeps the (expensive on TPU)
-    # per-element gather off the main path.
     nb = _neighbor_lookup(st.vox, face, done, neighbor, g)
 
     crossed = (~done) & (nb >= 0) & st.active
@@ -195,14 +202,13 @@ def walk_segment(st: WalkState, neighbor, g):
     pcode_out = jnp.where(stopped, nb, st.pcode)
     active_out = st.active & ~(done | stopped)
 
-    st = WalkState(
+    return WalkState(
         x=out_pos[0], y=out_pos[1], z=out_pos[2],
         vox=vox_out,
         ux=out_u[0], uy=out_u[1], uz=out_u[2],
         rx=out_rem[0], ry=out_rem[1], rz=out_rem[2],
         q=st.q, pcode=pcode_out, active=active_out,
     )
-    return st, dep_vox, contrib
 
 
 def streak_walk(st: WalkState, acc, neighbor, g, n_iter: int):
@@ -224,7 +230,8 @@ def streak_walk(st: WalkState, acc, neighbor, g, n_iter: int):
 
 def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
               max_nm: int | None = None, n_walk: int = 4,
-              sorted_deposit: bool = False):
+              sorted_deposit: bool = False, fused: bool = False,
+              interp_t=None):
     """One particle push for a whole species.
 
     Segment 1 of the streak walk runs vectorized over ALL particles (for
@@ -247,6 +254,13 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
 
     alive = sp.alive
     vox = jnp.where(alive, sp.i, 0)
+
+    if fused:
+        st, acc = _fused_segment1(sp, interp, g, alive, vox, neighbor, acc,
+                                  n_walk, interp_t=interp_t)
+        return _finish_after_segment1(sp, st, acc, neighbor, g, alive,
+                                      max_nm, n_walk)
+
     ip = interp[vox]
 
     ex, ey, ez, cbx, cby, cbz = interpolate_fields(ip, sp.dx, sp.dy, sp.dz)
@@ -283,6 +297,11 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
         acc = acc.at[dep_vox].add(jnp.stack(contrib, axis=-1),
                                   mode="promise_in_bounds")
 
+    return _finish_after_segment1(sp, st, acc, neighbor, g, alive,
+                                  max_nm, n_walk)
+
+
+def _finish_after_segment1(sp, st, acc, neighbor, g, alive, max_nm, n_walk):
     # ---- remaining segments on a compacted mover buffer ----
     unfinished = st.active
     pos_c = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
@@ -398,3 +417,115 @@ def energy_p(sp: SpeciesState, interp, g: Grid):
 
 def finish_energy_p(sp: SpeciesState, g: Grid, global_en):
     return (g.cvac * g.cvac / sp.q_m).astype(jnp.float64) * global_en
+
+
+def _push_math(ip, dx, dy, dz, ux0, uy0, uz0, qdt_2mc, cdt):
+    """Boris push + normalized half-displacement (advance_p.cxx:74-116)."""
+    one = jnp.float32(1.0)
+    ex, ey, ez, cbx, cby, cbz = interpolate_fields(ip, dx, dy, dz)
+    hax, hay, haz = qdt_2mc * ex, qdt_2mc * ey, qdt_2mc * ez
+    ux = ux0 + hax
+    uy = uy0 + hay
+    uz = uz0 + haz
+    v0 = qdt_2mc / jnp.sqrt(one + (ux * ux + (uy * uy + uz * uz)))
+    ux, uy, uz = boris_rotation(ux, uy, uz, cbx, cby, cbz, v0)
+    ux = ux + hax
+    uy = uy + hay
+    uz = uz + haz
+    v0 = one / jnp.sqrt(one + (ux * ux + (uy * uy + uz * uz)))
+    return (ux, uy, uz,
+            (ux * cdt[0]) * v0, (uy * cdt[1]) * v0, (uz * cdt[2]) * v0)
+
+
+def make_interp_t(interp, g: Grid):
+    """Transposed, lane-padded interpolator table for the fused kernel
+    (species-independent; build once per step)."""
+    from . import push_pallas as pk
+
+    nv_pad = pk._round_up(g.nv + 1, pk.LANE)
+    return jnp.zeros((18, nv_pad), jnp.float32).at[:, :g.nv].set(interp.T)
+
+
+def _fused_segment1(sp: SpeciesState, interp, g: Grid, alive, vox,
+                    neighbor, acc, n_walk, redo_cap: int = 16384,
+                    interp_t=None):
+    """Segment 1 via the fused Pallas kernel (push_pallas.py), with the
+    rare out-of-window lanes redone through the reference-equivalent XLA
+    path on a small compacted buffer."""
+    from . import push_pallas as pk
+
+    qdt_2mc = (0.5 * sp.q_m * g.dt / g.cvac).astype(jnp.float32)
+    cdt = (jnp.float32(g.cvac * g.dt * g.rdx),
+           jnp.float32(g.cvac * g.dt * g.rdy),
+           jnp.float32(g.cvac * g.dt * g.rdz))
+
+    pstate_t = jnp.stack(
+        [sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
+         jnp.where(alive, sp.q, 0.0)], axis=0)
+    if interp_t is None:
+        interp_t = make_interp_t(interp, g)
+    params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
+
+    acc_t, pout, in_win = pk.fused_push_deposit(
+        vox, pstate_t, interp_t, params, g.nv)
+    acc = acc + acc_t[:, :g.nv].T
+
+    ok = in_win & alive
+    u_k = (pout[pk.RUX], pout[pk.RUY], pout[pk.RUZ])
+    pos_new = (pout[pk.RX], pout[pk.RY], pout[pk.RZ])
+    rem_new = (pout[pk.RRX], pout[pk.RRY], pout[pk.RRZ])
+    stype = jnp.where(ok, pout[pk.RTYPE].astype(jnp.int32), 3)
+    dirh = pout[pk.RDIR]
+
+    st_in = WalkState(
+        x=sp.dx, y=sp.dy, z=sp.dz, vox=vox,
+        ux=jnp.where(ok, u_k[0], sp.ux),
+        uy=jnp.where(ok, u_k[1], sp.uy),
+        uz=jnp.where(ok, u_k[2], sp.uz),
+        rx=rem_new[0], ry=rem_new[1], rz=rem_new[2],
+        q=sp.q, pcode=jnp.zeros((sp.max_np,), jnp.int32), active=ok)
+    st = resolve_crossing(
+        st_in, (sp.dx, sp.dy, sp.dz), rem_new,
+        (st_in.ux, st_in.uy, st_in.uz), pos_new, rem_new,
+        stype, (dirh, dirh, dirh), neighbor, g)
+
+    # ---- redo out-of-window lanes with the unfused path ----
+    redo = alive & ~in_win
+    K = min(redo_cap, sp.max_np)
+    pos_c = jnp.cumsum(redo.astype(jnp.int32)) - 1
+    slot = jnp.where(redo & (pos_c < K), pos_c, K)
+    sel = jnp.zeros((K,), jnp.int32).at[slot].set(
+        jnp.arange(sp.max_np, dtype=jnp.int32), mode="drop")
+    n_redo = jnp.sum(redo).astype(jnp.int32)
+    rvalid = jnp.arange(K, dtype=jnp.int32) < jnp.minimum(n_redo, K)
+    sel = jnp.where(rvalid, sel, 0)
+
+    ipr = interp[jnp.where(rvalid, vox[sel], 0)]
+    rux, ruy, ruz, rrx, rry, rrz = _push_math(
+        ipr, sp.dx[sel], sp.dy[sel], sp.dz[sel],
+        sp.ux[sel], sp.uy[sel], sp.uz[sel], qdt_2mc, cdt)
+    str_ = WalkState(
+        x=sp.dx[sel], y=sp.dy[sel], z=sp.dz[sel],
+        vox=jnp.where(rvalid, vox[sel], 0),
+        ux=rux, uy=ruy, uz=ruz, rx=rrx, ry=rry, rz=rrz,
+        q=jnp.where(rvalid, sp.q[sel], 0.0),
+        pcode=jnp.zeros((K,), jnp.int32), active=rvalid)
+    str_, acc = streak_walk(str_, acc, neighbor, g, n_walk)
+
+    tgt = jnp.where(rvalid, sel, sp.max_np)
+
+    def put(full, buf):
+        return full.at[tgt].set(buf, mode="drop")
+
+    st = WalkState(
+        x=put(st.x, str_.x), y=put(st.y, str_.y), z=put(st.z, str_.z),
+        vox=put(st.vox, str_.vox),
+        ux=put(st.ux, str_.ux), uy=put(st.uy, str_.uy),
+        uz=put(st.uz, str_.uz),
+        rx=put(st.rx, str_.rx), ry=put(st.ry, str_.ry),
+        rz=put(st.rz, str_.rz),
+        q=st.q,
+        pcode=put(st.pcode, str_.pcode),
+        active=put(st.active, jnp.zeros((K,), bool)),
+    )
+    return st, acc
