@@ -174,33 +174,23 @@ def make_advance(
             state = user_particle_injection(state)
 
         # -- guard list processing (migration/absorption rounds) --
-        # Each round runs under a cond on the GLOBAL pending count (psum ->
-        # uniform across shards, so collectives inside never diverge); a
-        # step with no boundary interactions skips the rounds entirely.
+        # NOTE: a lax.cond skip of empty rounds costs MORE than the round
+        # itself on TPU (conditionals copy their whole carry), so rounds
+        # run unconditionally; process_boundary is O(max_inj).
         rng, sub = jax.random.split(state.rng)
         state = dataclasses.replace(state, rng=rng)
-
-        def one_round(carry):
-            species, f, acc, bstate, key = carry
-            out = []
-            for sp in species:
+        bstate = state.boundary_state
+        key = sub
+        for _ in range(opts.num_comm_round if state.species else 0):
+            species = []
+            for sp in state.species:
                 key, k2 = jax.random.split(key)
                 sp, f, acc, bstate = pboundary.process_boundary(
                     sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk,
                     handlers=boundary_handlers, bstate=bstate, key=k2)
-                out.append(sp)
-            return (tuple(out), f, acc, bstate, key)
-
-        carry = (state.species, f, acc, state.boundary_state, sub)
-        for _ in range(opts.num_comm_round if state.species else 0):
-            pending = sum(
-                (jnp.sum(sp.alive & (sp.pc != 0)) for sp in carry[0]),
-                start=jnp.int32(0))
-            pending = comm.allsum(pending.astype(jnp.int32))
-            carry = lax.cond(pending > 0, one_round, lambda c: c, carry)
-        species, f, acc, bstate, _ = carry
-        state = dataclasses.replace(state, species=species,
-                                    boundary_state=bstate)
+                species.append(sp)
+            state = dataclasses.replace(state, species=tuple(species))
+        state = dataclasses.replace(state, boundary_state=bstate)
         state = dataclasses.replace(
             state,
             species=tuple(pboundary.finish_boundary(sp)

@@ -256,6 +256,7 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     vox = jnp.where(alive, sp.i, 0)
 
     if fused:
+        from .deposit_pallas import deposit_sorted_into
         st, acc = _fused_segment1(sp, interp, g, alive, vox, neighbor, acc,
                                   n_walk, interp_t=interp_t)
         return _finish_after_segment1(sp, st, acc, neighbor, g, alive,
