@@ -10,3 +10,8 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Keep the test suite on the reference-equivalent XLA paths even when the
+# ambient interpreter is pinned to a TPU (the Pallas kernels have their own
+# dedicated parity tests; everything else should run fast + deterministic).
+os.environ.setdefault("VPIC_TPU_DISABLE_PALLAS", "1")

@@ -128,7 +128,9 @@ def make_advance(
     if fused_push is None:
         from ..particles.push_pallas import fused_vmem_ok
         fused_push = fused_vmem_ok(g.nv)
-    if jax.default_backend() == "cpu":
+    import os
+    if (jax.default_backend() == "cpu"
+            or os.environ.get("VPIC_TPU_DISABLE_PALLAS")):
         # pallas interpret mode is slow; tests run the XLA scatter path
         sorted_deposit = False
         fused_push = False
