@@ -1,0 +1,86 @@
+"""Profile the advance step on the real chip and print a per-op time
+breakdown (aggregated from the jax.profiler perfetto trace).
+
+Usage: python tools/profile_step.py [npart] [nx] [steps]
+Env:   PROF_DIR (default /tmp/vpic_prof)
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    npart = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    nx = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    prof_dir = os.environ.get("PROF_DIR", "/tmp/vpic_prof")
+
+    from __graft_entry__ import _build
+    sim = _build(nx=nx, ny=nx, nz=1, npart=npart // 2)
+
+    sim.advance(1)
+    jax.block_until_ready(sim.state)
+
+    import time
+    t0 = time.perf_counter()
+    sim.advance(steps)
+    jax.block_until_ready(sim.state)
+    dt_plain = time.perf_counter() - t0
+    total = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
+    print(f"== plain: {dt_plain/steps*1e3:.1f} ms/step, "
+          f"{total*steps/dt_plain/1e6:.1f} M pushes/s ==")
+
+    os.system(f"rm -rf {prof_dir}")
+    with jax.profiler.trace(prof_dir):
+        sim.advance(steps)
+        jax.block_until_ready(sim.state)
+
+    # aggregate device-side op durations from the perfetto trace
+    files = glob.glob(f"{prof_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print("no trace found")
+        return
+    with gzip.open(sorted(files)[-1], "rt") as fh:
+        trace = json.load(fh)
+    events = trace["traceEvents"]
+
+    # find device-thread pids (TensorCore tracks)
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if "TPU" in name or "/device:" in name or "XLA Op" in name:
+                device_pids.add(e["pid"])
+    by_name = defaultdict(float)
+    count = defaultdict(int)
+    total_dev = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        by_name[name] += dur
+        count[name] += 1
+        total_dev += dur
+
+    rows = sorted(by_name.items(), key=lambda kv: -kv[1])[:50]
+    print(f"{'ms_total':>9} {'ms/step':>8} {'n':>6}  name")
+    for name, ms in rows:
+        print(f"{ms:9.2f} {ms/steps:8.2f} {count[name]:6d}  {name[:110]}")
+    print(f"sum over tracked events: {total_dev:.1f} ms "
+          f"({total_dev/steps:.1f} ms/step)")
+
+
+if __name__ == "__main__":
+    main()
