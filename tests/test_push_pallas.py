@@ -1,0 +1,179 @@
+"""Fused Pallas push+walk kernel vs the XLA reference path (interpret mode
+on CPU; the real kernel is exercised on TPU by bench/verify runs).
+
+The XLA path (push.advance_p unfused) is itself parity-tested against the
+NumPy transcription of the reference kernels (test_kernel_parity.py), so
+fused == unfused here transitively pins the fused kernel to
+advance_p.cxx/move_p.c semantics."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _needs_cpu(test_name: str) -> bool:
+    """Interpret-mode kernels are unusable over a remote-TPU tunnel (every
+    interpreted op is a network round trip); re-run in a scrubbed local-CPU
+    subprocess when the ambient backend is not cpu."""
+    if jax.default_backend() == "cpu":
+        return True
+    if os.environ.get("VPIC_TPU_MESH_CHILD") == "1":
+        pytest.skip("no cpu backend even in child")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["VPIC_TPU_MESH_CHILD"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", f"{__file__}::{test_name}",
+         "-q", "--no-header"],
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, f"child failed:\n{r.stdout}\n{r.stderr}"
+    return False
+
+from vpic_tpu.core.types import (
+    Grid,
+    NEIGHBOR_ABSORB,
+    NEIGHBOR_REFLECT,
+    PERIODIC_FIELDS,
+    SpeciesState,
+)
+from vpic_tpu.grid.partition import make_grid_arrays
+from vpic_tpu.particles import push as ppush
+
+NX, NY, NZ = 6, 5, 4
+DT = 0.04
+
+
+def mk(pbc=(PERIODIC_FIELDS,) * 6):
+    g = Grid(nx=NX, ny=NY, nz=NZ, dt=DT, cvac=1.0, eps0=1.0,
+             gx1=1.0, gy1=1.0, gz1=1.0,
+             fbc=(PERIODIC_FIELDS,) * 6, pbc=pbc)
+    rng = np.random.default_rng(7)
+    interp = jnp.asarray(
+        0.1 * rng.normal(size=(g.nv, 18)).astype(np.float32))
+    return g, rng, interp
+
+
+def mk_species(g, rng, n, max_np, hot):
+    sp = SpeciesState.create("e", 0, -1.0, max_np)
+    x = rng.integers(1, g.nx + 1, n)
+    y = rng.integers(1, g.ny + 1, n)
+    z = rng.integers(1, g.nz + 1, n)
+    vox = np.asarray(g.voxel(x, y, z), np.int32)
+    order = np.argsort(vox, kind="stable")
+    ut = 3.0 if hot else 0.2
+    pad = max_np - n
+
+    def f32(a):
+        return jnp.asarray(np.concatenate(
+            [a[order], np.zeros(pad)]).astype(np.float32))
+
+    return sp.replace(
+        np=jnp.int32(n),
+        dx=f32(rng.uniform(-1, 1, n)), dy=f32(rng.uniform(-1, 1, n)),
+        dz=f32(rng.uniform(-1, 1, n)),
+        i=jnp.asarray(np.concatenate(
+            [vox[order], np.zeros(pad)]).astype(np.int32)),
+        ux=f32(rng.normal(0, ut, n)), uy=f32(rng.normal(0, ut, n)),
+        uz=f32(rng.normal(0, ut, n)),
+        q=f32(rng.uniform(0.5, 1.5, n)),
+    )
+
+
+def test_fused_matches_unfused():
+    if not _needs_cpu("test_fused_matches_unfused"):
+        return
+    for hot in (False, True):
+        for pbc in ((PERIODIC_FIELDS,) * 6,
+                    (NEIGHBOR_REFLECT, NEIGHBOR_ABSORB)
+                    + (PERIODIC_FIELDS,) * 4):
+            _check_fused_matches_unfused(hot, pbc)
+
+
+def _check_fused_matches_unfused(hot, pbc):
+    g, rng, interp = mk(pbc)
+    ga = make_grid_arrays(g)
+    n, max_np = 300, 512
+    sp = mk_species(g, rng, n, max_np, hot)
+
+    acc0 = jnp.zeros((g.nv, 12), jnp.float32)
+    KO = dict(block=256, window=256, pre=64)
+    sp_ref, acc_ref = jax.jit(
+        lambda sp, acc: ppush.advance_p(sp, interp, acc, ga.neighbor, g,
+                                        n_walk=4, fused=False,
+                                        max_nm=max_np))(sp, acc0)
+
+    with pltpu.force_tpu_interpret_mode():
+        sp_f, acc_f = jax.jit(
+            lambda sp, acc: ppush.advance_p(sp, interp, acc, ga.neighbor, g,
+                                            n_walk=4, fused=True,
+                                            kernel_opts=KO))(sp, acc0)
+
+    live = np.asarray(sp.alive)
+    assert int(sp_f.nm) == int(sp_ref.nm)
+    np.testing.assert_array_equal(np.asarray(sp_f.i)[live],
+                                  np.asarray(sp_ref.i)[live])
+    np.testing.assert_array_equal(np.asarray(sp_f.pc)[live],
+                                  np.asarray(sp_ref.pc)[live])
+    for c in ("ux", "uy", "uz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp_f, c))[live],
+            np.asarray(getattr(sp_ref, c))[live],
+            rtol=1e-5, atol=1e-6, err_msg=c)
+    for c in ("dx", "dy", "dz", "mdx", "mdy", "mdz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp_f, c))[live],
+            np.asarray(getattr(sp_ref, c))[live],
+            rtol=1e-4, atol=2e-5, err_msg=c)
+    np.testing.assert_allclose(np.asarray(acc_f), np.asarray(acc_ref),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_fused_unsorted_redo_path():
+    """Badly unsorted particles exercise the out-of-window redo path."""
+    if not _needs_cpu("test_fused_unsorted_redo_path"):
+        return
+    g, rng, interp = mk()
+    ga = make_grid_arrays(g)
+    n, max_np = 300, 512
+    sp = mk_species(g, rng, n, max_np, hot=False)
+    perm = rng.permutation(max_np)
+    sp = sp.replace(**{k: getattr(sp, k)[perm]
+                       for k in ("dx", "dy", "dz", "i", "ux", "uy", "uz",
+                                 "q")})
+    # rebuild a contiguous live set: alive depends on slot < np, so mark
+    # every slot live by charge instead
+    keep = perm < n
+    sp = sp.replace(np=jnp.int32(max_np),
+                    q=jnp.where(jnp.asarray(keep), sp.q, 0.0),
+                    i=jnp.where(jnp.asarray(keep), sp.i, 0))
+
+    acc0 = jnp.zeros((g.nv, 12), jnp.float32)
+    KO = dict(block=256, window=256, pre=64)
+    sp_ref, acc_ref = jax.jit(
+        lambda sp, acc: ppush.advance_p(sp, interp, acc, ga.neighbor, g,
+                                        n_walk=4, fused=False,
+                                        max_nm=max_np))(sp, acc0)
+    with pltpu.force_tpu_interpret_mode():
+        sp_f, acc_f = jax.jit(
+            lambda sp, acc: ppush.advance_p(sp, interp, acc, ga.neighbor, g,
+                                            n_walk=4, fused=True,
+                                            kernel_opts=KO))(sp, acc0)
+
+    live = np.asarray(keep)
+    np.testing.assert_array_equal(np.asarray(sp_f.i)[live],
+                                  np.asarray(sp_ref.i)[live])
+    for c in ("dx", "dy", "dz", "ux", "uy", "uz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp_f, c))[live],
+            np.asarray(getattr(sp_ref, c))[live],
+            rtol=1e-4, atol=2e-5, err_msg=c)
+    np.testing.assert_allclose(np.asarray(acc_f), np.asarray(acc_ref),
+                               rtol=1e-4, atol=2e-5)

@@ -127,7 +127,7 @@ def make_advance(
     fused_push = opts.fused_push
     if fused_push is None:
         from ..particles.push_pallas import fused_vmem_ok
-        fused_push = fused_vmem_ok(g.nv)
+        fused_push = fused_vmem_ok(g.nv, g.nxg)
     import os
     if (jax.default_backend() == "cpu"
             or os.environ.get("VPIC_TPU_DISABLE_PALLAS")):
@@ -136,6 +136,20 @@ def make_advance(
         fused_push = False
     if fused_push:
         sorted_deposit = True   # fused kernel requires per-step sorting
+
+    # Boundary (guard-list) rounds are only reachable when something can
+    # actually put a particle on the guard list or inject one mid-step:
+    # inter-shard migration, absorbing/custom faces, handlers, emitters,
+    # or user injection.  Periodic/reflecting faces resolve inside the
+    # walk; leftover exhausted walkers are dropped+counted, mirroring the
+    # reference's "Ignoring unprocessed movers" path (advance.cxx:98-103).
+    from ..core.types import NEIGHBOR_REFLECT, PERIODIC_FIELDS
+    needs_boundary = (
+        pcomm is not None
+        or bool(boundary_handlers)
+        or bool(emitters)
+        or user_particle_injection is not None
+        or any(b not in (PERIODIC_FIELDS, NEIGHBOR_REFLECT) for b in g.pbc))
 
     def advance(state: SimState) -> SimState:
         f = state.field
@@ -158,7 +172,7 @@ def make_advance(
             state = user_particle_collisions(state)
 
         # -- particle push + current deposition --
-        interp_t = (ppush.make_interp_t(state.interpolator, g)
+        interp_t = (ppush.make_interp_t(state.interpolator, g, nb)
                     if fused_push else None)
         species = []
         for sp in state.species:
@@ -178,25 +192,27 @@ def make_advance(
         # -- guard list processing (migration/absorption rounds) --
         # NOTE: a lax.cond skip of empty rounds costs MORE than the round
         # itself on TPU (conditionals copy their whole carry), so rounds
-        # run unconditionally; process_boundary is O(max_inj).
-        rng, sub = jax.random.split(state.rng)
-        state = dataclasses.replace(state, rng=rng)
-        bstate = state.boundary_state
-        key = sub
-        for _ in range(opts.num_comm_round if state.species else 0):
-            species = []
-            for sp in state.species:
-                key, k2 = jax.random.split(key)
-                sp, f, acc, bstate = pboundary.process_boundary(
-                    sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk,
-                    handlers=boundary_handlers, bstate=bstate, key=k2)
-                species.append(sp)
-            state = dataclasses.replace(state, species=tuple(species))
-        state = dataclasses.replace(state, boundary_state=bstate)
-        state = dataclasses.replace(
-            state,
-            species=tuple(pboundary.finish_boundary(sp)
-                          for sp in state.species))
+        # run unconditionally when reachable; process_boundary is
+        # O(max_inj) except for its one compaction pass.
+        if needs_boundary:
+            rng, sub = jax.random.split(state.rng)
+            state = dataclasses.replace(state, rng=rng)
+            bstate = state.boundary_state
+            key = sub
+            for _ in range(opts.num_comm_round if state.species else 0):
+                species = []
+                for sp in state.species:
+                    key, k2 = jax.random.split(key)
+                    sp, f, acc, bstate = pboundary.process_boundary(
+                        sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk,
+                        handlers=boundary_handlers, bstate=bstate, key=k2)
+                    species.append(sp)
+                state = dataclasses.replace(state, species=tuple(species))
+            state = dataclasses.replace(state, boundary_state=bstate)
+            state = dataclasses.replace(
+                state,
+                species=tuple(pboundary.finish_boundary(sp)
+                              for sp in state.species))
 
         # -- currents -> fields --
         f = sfi.clear_jf(f, g)

@@ -27,21 +27,8 @@ from ..core.types import (
     SpeciesState,
 )
 from .aux import accumulate_rhob
-from .push import PC_EXHAUSTED, WalkState, streak_walk
-
-
-def _compact_indices(mask, k: int, max_np: int):
-    """Stable indices of the first k True entries (padded with max_np).
-    O(n) prefix-sum compaction (no sort)."""
-    k = min(k, mask.shape[0])
-    n_arr = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1          # slot per True
-    slot = jnp.where(mask & (pos < k), pos, k)            # k = drop sentinel
-    sel = jnp.full((k,), max_np, dtype=jnp.int32).at[slot].set(
-        jnp.arange(n_arr, dtype=jnp.int32), mode="drop")
-    n = jnp.sum(mask).astype(jnp.int32)
-    valid = jnp.arange(k, dtype=jnp.int32) < n
-    return jnp.where(valid, sel, max_np), n, valid
+from .push import (PC_EXHAUSTED, WalkState, streak_walk,
+                   compact_indices as _compact_indices)
 
 
 def _remap_voxel_through_face(g: Grid, vox, face: int):

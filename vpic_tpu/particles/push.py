@@ -118,6 +118,20 @@ class WalkState(NamedTuple):
     active: jax.Array
 
 
+def compact_indices(mask, k: int, max_np: int):
+    """Stable indices of the first k True entries (padded with max_np).
+    O(n) prefix-sum compaction (no sort).  Returns (sel, n_true, valid)."""
+    k = min(k, mask.shape[0])
+    n_arr = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1          # slot per True
+    slot = jnp.where(mask & (pos < k), pos, k)            # k = drop sentinel
+    sel = jnp.full((k,), max_np, dtype=jnp.int32).at[slot].set(
+        jnp.arange(n_arr, dtype=jnp.int32), mode="drop")
+    n = jnp.sum(mask).astype(jnp.int32)
+    valid = jnp.arange(k, dtype=jnp.int32) < n
+    return jnp.where(valid, sel, max_np), n, valid
+
+
 def _neighbor_lookup(vox, face, done, neighbor, g):
     """neighbor[vox, face].  Row-gather of the 6-entry neighbor row (row
     gathers amortize far better than per-element gathers on TPU), then a
@@ -231,7 +245,7 @@ def streak_walk(st: WalkState, acc, neighbor, g, n_iter: int):
 def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
               max_nm: int | None = None, n_walk: int = 4,
               sorted_deposit: bool = False, fused: bool = False,
-              interp_t=None):
+              interp_t=None, kernel_opts=None):
     """One particle push for a whole species.
 
     Segment 1 of the streak walk runs vectorized over ALL particles (for
@@ -256,11 +270,9 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     vox = jnp.where(alive, sp.i, 0)
 
     if fused:
-        from .deposit_pallas import deposit_sorted_into
-        st, acc = _fused_segment1(sp, interp, g, alive, vox, neighbor, acc,
-                                  n_walk, interp_t=interp_t)
-        return _finish_after_segment1(sp, st, acc, neighbor, g, alive,
-                                      max_nm, n_walk)
+        return _advance_p_fused(sp, interp, acc, neighbor, g, alive, vox,
+                                n_walk=n_walk, table_t=interp_t,
+                                kernel_opts=kernel_opts)
 
     ip = interp[vox]
 
@@ -438,22 +450,33 @@ def _push_math(ip, dx, dy, dz, ux0, uy0, uz0, qdt_2mc, cdt):
             (ux * cdt[0]) * v0, (uy * cdt[1]) * v0, (uz * cdt[2]) * v0)
 
 
-def make_interp_t(interp, g: Grid):
-    """Transposed, lane-padded interpolator table for the fused kernel
+def make_interp_t(interp, g: Grid, neighbor):
+    """Lane-padded (19, nv_pad) gather table for the fused kernel:
+    18 transposed interpolator rows + the per-voxel exception-bit row
     (species-independent; build once per step)."""
     from . import push_pallas as pk
 
     nv_pad = pk._round_up(g.nv + 1, pk.LANE)
-    return jnp.zeros((18, nv_pad), jnp.float32).at[:, :g.nv].set(interp.T)
+    t = jnp.zeros((pk.N_TABLE, nv_pad), jnp.float32)
+    t = t.at[:18, :g.nv].set(interp.T)
+    return t.at[pk.EXC_ROW, :g.nv].set(pk.exception_bits(neighbor, g))
 
 
-def _fused_segment1(sp: SpeciesState, interp, g: Grid, alive, vox,
-                    neighbor, acc, n_walk, redo_cap: int = 16384,
-                    interp_t=None):
-    """Segment 1 via the fused Pallas kernel (push_pallas.py), with the
-    rare out-of-window lanes redone through the reference-equivalent XLA
-    path on a small compacted buffer."""
+def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
+                     alive, vox, n_walk: int = 4, table_t=None,
+                     fix_cap: int | None = None, kernel_opts=None):
+    """The fused Pallas push: the kernel finishes the full streak walk for
+    in-window lanes with interior crossings (push_pallas.py); only
+    exported lanes (domain-boundary faces, window escapes, walker
+    exhaustion) and out-of-window lanes (sort drift) go through a small
+    compacted XLA fix-up: resolve the pending crossing with the real
+    neighbor table, finish the walk, scatter back."""
     from . import push_pallas as pk
+
+    max_np = sp.max_np
+    if fix_cap is None:
+        fix_cap = max(4096, max_np // 64)
+    K = min(fix_cap, max_np)
 
     qdt_2mc = (0.5 * sp.q_m * g.dt / g.cvac).astype(jnp.float32)
     cdt = (jnp.float32(g.cvac * g.dt * g.rdx),
@@ -463,70 +486,95 @@ def _fused_segment1(sp: SpeciesState, interp, g: Grid, alive, vox,
     pstate_t = jnp.stack(
         [sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
          jnp.where(alive, sp.q, 0.0)], axis=0)
-    if interp_t is None:
-        interp_t = make_interp_t(interp, g)
+    if table_t is None:
+        table_t = make_interp_t(interp, g, neighbor)
     params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
+    strides = jnp.asarray(pk.face_strides(g), jnp.int32)
 
-    acc_t, pout, in_win = pk.fused_push_deposit(
-        vox, pstate_t, interp_t, params, g.nv)
+    acc_t, pout, in_win = pk.fused_push_walk(
+        vox, pstate_t, table_t, params, strides, g.nv, n_walk=n_walk,
+        **(kernel_opts or {}))
     acc = acc + acc_t[:, :g.nv].T
 
-    ok = in_win & alive
-    u_k = (pout[pk.RUX], pout[pk.RUY], pout[pk.RUZ])
-    pos_new = (pout[pk.RX], pout[pk.RY], pout[pk.RZ])
-    rem_new = (pout[pk.RRX], pout[pk.RRY], pout[pk.RRZ])
-    stype = jnp.where(ok, pout[pk.RTYPE].astype(jnp.int32), 3)
-    dirh = pout[pk.RDIR]
+    expt = pout[pk.PEXPT] > 0.5
+    fix = alive & (expt | ~in_win)
+
+    # kernel-finished lanes (the overwhelming majority) are final
+    dx = jnp.where(alive, pout[pk.PX], sp.dx)
+    dy = jnp.where(alive, pout[pk.PY], sp.dy)
+    dz = jnp.where(alive, pout[pk.PZ], sp.dz)
+    uxo = jnp.where(alive, pout[pk.PUX], sp.ux)
+    uyo = jnp.where(alive, pout[pk.PUY], sp.uy)
+    uzo = jnp.where(alive, pout[pk.PUZ], sp.uz)
+    vox_o = jnp.where(alive, (pout[pk.PVOX] + 0.5).astype(jnp.int32), sp.i)
+
+    # ---- compacted fix-up buffer ----
+    sel, n_fix, valid = compact_indices(fix, K, max_np)
+    safe = jnp.where(valid, sel, 0)
+    redo = valid & ~in_win[safe]          # never pushed (sort drift)
+
+    # out-of-window lanes redo the full push from their original state
+    ipr = interp[jnp.where(redo, sp.i[safe], 0)]
+    rux, ruy, ruz, rrx, rry, rrz = _push_math(
+        ipr, sp.dx[safe], sp.dy[safe], sp.dz[safe],
+        sp.ux[safe], sp.uy[safe], sp.uz[safe], qdt_2mc, cdt)
+
+    def mix(r, b):
+        return jnp.where(redo, r, b)
 
     st_in = WalkState(
-        x=sp.dx, y=sp.dy, z=sp.dz, vox=vox,
-        ux=jnp.where(ok, u_k[0], sp.ux),
-        uy=jnp.where(ok, u_k[1], sp.uy),
-        uz=jnp.where(ok, u_k[2], sp.uz),
-        rx=rem_new[0], ry=rem_new[1], rz=rem_new[2],
-        q=sp.q, pcode=jnp.zeros((sp.max_np,), jnp.int32), active=ok)
-    st = resolve_crossing(
-        st_in, (sp.dx, sp.dy, sp.dz), rem_new,
-        (st_in.ux, st_in.uy, st_in.uz), pos_new, rem_new,
-        stype, (dirh, dirh, dirh), neighbor, g)
-
-    # ---- redo out-of-window lanes with the unfused path ----
-    redo = alive & ~in_win
-    K = min(redo_cap, sp.max_np)
-    pos_c = jnp.cumsum(redo.astype(jnp.int32)) - 1
-    slot = jnp.where(redo & (pos_c < K), pos_c, K)
-    sel = jnp.zeros((K,), jnp.int32).at[slot].set(
-        jnp.arange(sp.max_np, dtype=jnp.int32), mode="drop")
-    n_redo = jnp.sum(redo).astype(jnp.int32)
-    rvalid = jnp.arange(K, dtype=jnp.int32) < jnp.minimum(n_redo, K)
-    sel = jnp.where(rvalid, sel, 0)
-
-    ipr = interp[jnp.where(rvalid, vox[sel], 0)]
-    rux, ruy, ruz, rrx, rry, rrz = _push_math(
-        ipr, sp.dx[sel], sp.dy[sel], sp.dz[sel],
-        sp.ux[sel], sp.uy[sel], sp.uz[sel], qdt_2mc, cdt)
-    str_ = WalkState(
-        x=sp.dx[sel], y=sp.dy[sel], z=sp.dz[sel],
-        vox=jnp.where(rvalid, vox[sel], 0),
-        ux=rux, uy=ruy, uz=ruz, rx=rrx, ry=rry, rz=rrz,
-        q=jnp.where(rvalid, sp.q[sel], 0.0),
-        pcode=jnp.zeros((K,), jnp.int32), active=rvalid)
-    str_, acc = streak_walk(str_, acc, neighbor, g, n_walk)
-
-    tgt = jnp.where(rvalid, sel, sp.max_np)
-
-    def put(full, buf):
-        return full.at[tgt].set(buf, mode="drop")
-
-    st = WalkState(
-        x=put(st.x, str_.x), y=put(st.y, str_.y), z=put(st.z, str_.z),
-        vox=put(st.vox, str_.vox),
-        ux=put(st.ux, str_.ux), uy=put(st.uy, str_.uy),
-        uz=put(st.uz, str_.uz),
-        rx=put(st.rx, str_.rx), ry=put(st.ry, str_.ry),
-        rz=put(st.rz, str_.rz),
-        q=st.q,
-        pcode=put(st.pcode, str_.pcode),
-        active=put(st.active, jnp.zeros((K,), bool)),
+        x=mix(sp.dx[safe], pout[pk.PX][safe]),
+        y=mix(sp.dy[safe], pout[pk.PY][safe]),
+        z=mix(sp.dz[safe], pout[pk.PZ][safe]),
+        vox=jnp.where(redo, sp.i[safe],
+                      (pout[pk.PVOX][safe] + 0.5).astype(jnp.int32)),
+        ux=mix(rux, pout[pk.PUX][safe]),
+        uy=mix(ruy, pout[pk.PUY][safe]),
+        uz=mix(ruz, pout[pk.PUZ][safe]),
+        rx=mix(rrx, pout[pk.PRX][safe]),
+        ry=mix(rry, pout[pk.PRY][safe]),
+        rz=mix(rrz, pout[pk.PRZ][safe]),
+        q=jnp.where(valid, sp.q[safe], 0.0),
+        pcode=jnp.zeros((K,), jnp.int32),
+        active=valid,
     )
-    return st, acc
+    stype_b = jnp.where(redo, 3,
+                        (pout[pk.PTYPE][safe] + 0.5).astype(jnp.int32))
+    dir_b = jnp.where(redo, 0.0, pout[pk.PDIR][safe])
+    pos_b = (st_in.x, st_in.y, st_in.z)
+    rem_b = (st_in.rx, st_in.ry, st_in.rz)
+    st = resolve_crossing(st_in, pos_b, rem_b,
+                          (st_in.ux, st_in.uy, st_in.uz), pos_b, rem_b,
+                          stype_b, (dir_b, dir_b, dir_b), neighbor, g)
+    # anything with pending displacement and no boundary code keeps walking
+    # (covers redo lanes, exhausted exports, and freshly crossed lanes; the
+    # kernel zeroes rem exactly for finished lanes)
+    walk = valid & (st.pcode == 0) & (
+        (st.rx != 0) | (st.ry != 0) | (st.rz != 0))
+    st = st._replace(active=walk)
+    st, acc = streak_walk(st, acc, neighbor, g, n_walk)
+
+    # ---- scatter the fix-up results back ----
+    tgt = jnp.where(valid, sel, max_np)
+
+    def put(full, vals):
+        return full.at[tgt].set(vals, mode="drop")
+
+    dx, dy, dz = put(dx, st.x), put(dy, st.y), put(dz, st.z)
+    uxo, uyo, uzo = put(uxo, st.ux), put(uyo, st.uy), put(uzo, st.uz)
+    vox_o = put(vox_o, st.vox)
+    pend = st.pcode != 0
+    zf = jnp.zeros((max_np,), jnp.float32)
+    pc = jnp.zeros((max_np,), jnp.int32).at[tgt].set(st.pcode, mode="drop")
+    mdx = zf.at[tgt].set(jnp.where(pend, st.rx, 0.0), mode="drop")
+    mdy = zf.at[tgt].set(jnp.where(pend, st.ry, 0.0), mode="drop")
+    mdz = zf.at[tgt].set(jnp.where(pend, st.rz, 0.0), mode="drop")
+
+    # fix-lanes beyond capacity keep their frozen kernel state; their
+    # remaining displacement is dropped and counted, mirroring the
+    # "Ignoring %i unprocessed movers" semantics (advance.cxx:98-103)
+    nm = jnp.sum(pend).astype(jnp.int32) + jnp.maximum(n_fix - K, 0)
+
+    sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox_o, ux=uxo, uy=uyo, uz=uzo,
+                    mdx=mdx, mdy=mdy, mdz=mdz, pc=pc, nm=nm)
+    return sp, acc

@@ -1,24 +1,31 @@
-"""Fused Pallas push kernel: interpolator gather + Boris push + first
-streak segment + current deposition in ONE kernel over sorted particle
-blocks.
+"""Fused Pallas push+walk kernel: interpolator gather, Boris push, the FULL
+bounded streak walk (up to ``n_walk`` segments) with per-segment
+charge-conserving current deposition, and local cell-crossing resolution —
+all in ONE kernel over sorted particle blocks.
 
 This is the speed-of-light form of the reference's hot loop
-(advance_p.cxx:68-183): both the 18-coefficient gather and the
-12-component deposit become one-hot matmuls on the MXU against
-lane-windowed slices of VMEM-resident tables, the push math runs on the
-VPU in (1,128)-row form, and no per-element gather/scatter touches HBM.
+(advance_p.cxx:68-183 + move_p.c:20-136): the 18-coefficient gather and
+every 12-component segment deposit are one-hot matmuls on the MXU against
+lane-windowed slices of VMEM-resident tables; the push/walk math runs on
+the VPU in (1,128)-row form; no per-element gather/scatter touches HBM.
+
+Cell crossings are resolved IN-KERNEL for the common case: an interior
+crossing through face ``f`` moves the voxel by a static per-face stride
+(+-1, +-nxg, +-nxg*nyg; 0 for flat periodic axes) and flips the crossed
+coordinate, exactly like move_p's local-neighbor branch (move_p.c:112-123).
+Voxels whose neighbor table disagrees with the arithmetic stride (domain
+faces: reflect/absorb/migrate/wrap) carry a per-face exception bit in
+row 18 of the gathered table; a lane crossing an exceptional face — or
+escaping its deposit window — is *exported* with its frozen mid-walk state
+(position on the face, remaining displacement, crossing face/direction) for
+the caller's compacted XLA fix-up path (push.py), which applies the real
+neighbor table.  Everything else leaves the kernel fully finished.
 
 Memory plan (per core):
-  interp (24 x nv_pad x 4B)  VMEM resident input
-  acc    (16 x nv_pad x 4B)  VMEM resident revisited output
-  => usable for nv_pad up to ~100k voxels; larger grids use the unfused
+  table (24 x nv_pad x 4B)  VMEM resident input (18 interp + exc row)
+  acc   (16 x nv_pad x 4B)  VMEM resident revisited output
+  => usable to ~100k voxels AND nxg <= 2*PRE; larger grids use the unfused
   path (engine/step.py auto-selects).
-
-The kernel handles only in-window particles (sorted order guarantees
-nearly all); out-of-window lanes are flagged and re-done by the caller
-via the reference-equivalent XLA path.  Cell-crossing resolution (the
-neighbor table part of move_p.c:112-133) stays outside — the kernel
-reports (stype, dir) and the caller applies the crossing/reflection.
 """
 
 from __future__ import annotations
@@ -37,17 +44,48 @@ LANE = 128
 ONE_THIRD = 1.0 / 3.0
 TWO_FIFTEENTHS = 2.0 / 15.0
 
-# pout row layout
-RX, RY, RZ, RUX, RUY, RUZ, RRX, RRY, RRZ, RDONE, RTYPE, RDIR, ROK = range(13)
+# pout row layout (component-major (NROWS, np) output):
+#   PX..PZ   final cell-relative position (exported: position on the face)
+#   PUX..PUZ kicked momentum
+#   PRX..PRZ remaining half-displacement (0 when fully walked)
+#   PVOX     final voxel as f32 (exact below 2^24)
+#   PTYPE    pending crossing axis (3 = none)
+#   PDIR     pending crossing direction (+-1)
+#   PEXPT    1.0 if the lane was exported for XLA fix-up
+PX, PY, PZ, PUX, PUY, PUZ, PRX, PRY, PRZ, PVOX, PTYPE, PDIR, PEXPT = range(13)
 NROWS = 16
+EXC_ROW = 18          # exception-bit row index in the gathered table
+N_TABLE = 19
+PRE = 192             # window-start bias: headroom for backward crossings
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel(starts_ref, params_ref, loc_ref, pstate_ref, interp_ref,
-            acc_ref, pout_ref, *, window):
+def face_strides(g) -> tuple:
+    """Static per-face voxel strides for interior crossings.  Flat axes
+    (global extent 1) self-wrap under periodic BCs -> stride 0."""
+    sx = 1 if g.gnx > 1 else 0
+    sy = g.nxg if g.gny > 1 else 0
+    sz = g.nxg * g.nyg if g.gnz > 1 else 0
+    return (-sx, -sy, -sz, sx, sy, sz)
+
+
+def exception_bits(neighbor, g) -> jax.Array:
+    """(nv,) f32 bitmask: bit f set where ``neighbor[:, f]`` differs from
+    the arithmetic interior stride (i.e. the crossing needs the real
+    neighbor table: domain wrap, reflect, absorb, migrate, custom)."""
+    nv = neighbor.shape[0]
+    base = jnp.arange(nv, dtype=jnp.int32)
+    bits = jnp.zeros((nv,), jnp.int32)
+    for f, s in enumerate(face_strides(g)):
+        bits = bits | ((neighbor[:, f] != base + s).astype(jnp.int32) << f)
+    return bits.astype(jnp.float32)
+
+
+def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
+            table_ref, acc_ref, pout_ref, *, window, n_walk):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -62,41 +100,43 @@ def _kernel(starts_ref, params_ref, loc_ref, pstate_ref, interp_ref,
     big = jnp.float32(3.4e38)
     rows = loc_ref.shape[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, LANE), 0)
-    win = interp_ref[:, pl.ds(pl.multiple_of(start, LANE), window)]  # (18,W)
+    win = table_ref[:, pl.ds(pl.multiple_of(start, LANE), window)]
+    exc_win = win[EXC_ROW:EXC_ROW + 1, :]                      # (1, W)
     blk = jnp.zeros((12, window), jnp.float32)
 
     for r in range(rows):
-        loc_row = loc_ref[r, :][None, :]                   # (1, 128)
-        inb = (loc_row >= 0) & (loc_row < window)
-        ohT = ((loc_row == iota_w) & inb).astype(jnp.float32)  # (W, 128)
+        loc0 = loc_ref[r, :][None, :]                          # (1,128) int32
+        inb = (loc0 >= 0) & (loc0 < window)
+        ohT = ((jnp.where(inb, loc0, jnp.int32(-1)) == iota_w)
+               ).astype(jnp.float32)                            # (W, 128)
 
-        # ---- gather: (18, W) x (W, 128) -> (18, 128) on the MXU ----
+        # ---- gather: (19, W) x (W, 128) -> (19, 128) on the MXU ----
         C = jax.lax.dot_general(
             win, ohT, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-        ps = pstate_ref[:, r * LANE:(r + 1) * LANE]        # (7, 128)
-        dx, dy, dz = ps[0:1], ps[1:2], ps[2:3]
-        ux, uy, uz = ps[3:4], ps[4:5], ps[5:6]
+        ps = pstate_ref[:, r * LANE:(r + 1) * LANE]            # (7, 128)
+        dx0, dy0, dz0 = ps[0:1], ps[1:2], ps[2:3]
+        ux0, uy0, uz0 = ps[3:4], ps[4:5], ps[5:6]
         q = ps[6:7]
 
         c = lambda k: C[k:k + 1, :]
         # interpolate E/B (advance_p.cxx:74-82)
-        hax = qdt_2mc * ((c(IP["ex"]) + dy * c(IP["dexdy"]))
-                         + dz * (c(IP["dexdz"]) + dy * c(IP["d2exdydz"])))
-        hay = qdt_2mc * ((c(IP["ey"]) + dz * c(IP["deydz"]))
-                         + dx * (c(IP["deydx"]) + dz * c(IP["d2eydzdx"])))
-        haz = qdt_2mc * ((c(IP["ez"]) + dx * c(IP["dezdx"]))
-                         + dy * (c(IP["dezdy"]) + dx * c(IP["d2ezdxdy"])))
-        cbx = c(IP["cbx"]) + dx * c(IP["dcbxdx"])
-        cby = c(IP["cby"]) + dy * c(IP["dcbydy"])
-        cbz = c(IP["cbz"]) + dz * c(IP["dcbzdz"])
+        hax = qdt_2mc * ((c(IP["ex"]) + dy0 * c(IP["dexdy"]))
+                         + dz0 * (c(IP["dexdz"]) + dy0 * c(IP["d2exdydz"])))
+        hay = qdt_2mc * ((c(IP["ey"]) + dz0 * c(IP["deydz"]))
+                         + dx0 * (c(IP["deydx"]) + dz0 * c(IP["d2eydzdx"])))
+        haz = qdt_2mc * ((c(IP["ez"]) + dx0 * c(IP["dezdx"]))
+                         + dy0 * (c(IP["dezdy"]) + dx0 * c(IP["d2ezdxdy"])))
+        cbx = c(IP["cbx"]) + dx0 * c(IP["dcbxdx"])
+        cby = c(IP["cby"]) + dy0 * c(IP["dcbydy"])
+        cbz = c(IP["cbz"]) + dz0 * c(IP["dcbzdz"])
 
         # Boris (advance_p.cxx:87-105)
-        ux = ux + hax
-        uy = uy + hay
-        uz = uz + haz
+        ux = ux0 + hax
+        uy = uy0 + hay
+        uz = uz0 + haz
         v0 = qdt_2mc * jax.lax.rsqrt(one + (ux * ux + (uy * uy + uz * uz)))
         v1 = cbx * cbx + (cby * cby + cbz * cbz)
         v2 = (v0 * v0) * v1
@@ -115,57 +155,121 @@ def _kernel(starts_ref, params_ref, loc_ref, pstate_ref, interp_ref,
         uz = uz + haz
 
         v0 = jax.lax.rsqrt(one + (ux * ux + (uy * uy + uz * uz)))
-        rx = (ux * cdt[0]) * v0
-        ry = (uy * cdt[1]) * v0
-        rz = (uz * cdt[2]) * v0
+        rem = ((ux * cdt[0]) * v0, (uy * cdt[1]) * v0, (uz * cdt[2]) * v0)
 
-        # first streak segment (move_p.c:34-71)
-        pos = (dx, dy, dz)
-        rem = (rx, ry, rz)
-        sdir = tuple(jnp.where(rr > 0, one, -one) for rr in rem)
-        frac = tuple(jnp.where(rr == 0, big, (dd - pp) / rr)
-                     for rr, dd, pp in zip(rem, sdir, pos))
-        t3 = jnp.full_like(q, 2.0)
-        stype = jnp.full_like(q, 3.0)
-        for a in range(3):
-            hit = frac[a] < t3
-            t3 = jnp.where(hit, frac[a], t3)
-            stype = jnp.where(hit, jnp.float32(a), stype)
-        t3 = t3 * jnp.float32(0.5)
-        sd = tuple(rr * t3 for rr in rem)
-        sm = tuple(pp + ss for pp, ss in zip(pos, sd))
+        # out-of-window lanes pass their inputs straight through
+        pux = jnp.where(inb, ux, ux0)
+        puy = jnp.where(inb, uy, uy0)
+        puz = jnp.where(inb, uz, uz0)
+        pox, poy, poz = dx0, dy0, dz0
+        prx = jnp.zeros_like(q)
+        pry = jnp.zeros_like(q)
+        prz = jnp.zeros_like(q)
+        ptype = jnp.full_like(loc0, 3)
+        pdir = jnp.zeros_like(q)
+        pexpt = jnp.zeros_like(q)
+        ploc = loc0
 
-        q_eff = q * inb.astype(jnp.float32)
-        v5 = q_eff * sd[0] * sd[1] * sd[2] * jnp.float32(ONE_THIRD)
-        contrib = []
-        for X, Y, Z in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
-            vX = q_eff * sd[X]
-            my, mz = sm[Y], sm[Z]
-            contrib += [
-                vX * (one - my) * (one - mz) + v5,
-                vX * (one + my) * (one - mz) - v5,
-                vX * (one - my) * (one + mz) - v5,
-                vX * (one + my) * (one + mz) + v5,
-            ]
-        contrib = jnp.concatenate(contrib, axis=0)          # (12, 128)
-        blk = blk + jax.lax.dot_general(
-            contrib, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        exc_i = (C[EXC_ROW:EXC_ROW + 1, :] + 0.5).astype(jnp.int32)
+        pos = (dx0, dy0, dz0)
+        loc_cur = loc0
+        active = inb
 
-        rem_o = tuple(rr - ss for rr, ss in zip(rem, sd))
-        pos_o = tuple(pp + 2.0 * ss for pp, ss in zip(pos, sd))
-        done = (stype == 3.0).astype(jnp.float32)
-        dir_hit = jnp.zeros_like(q)
-        for a in range(3):
-            dir_hit = jnp.where(stype == jnp.float32(a), sdir[a], dir_hit)
+        # ---- the streak walk (move_p.c:34-134), all segments in-kernel ----
+        for s in range(n_walk):
+            sdir = tuple(jnp.where(rr > 0, one, -one) for rr in rem)
+            frac = tuple(jnp.where(rr == 0, big, (dd - pp) / rr)
+                         for rr, dd, pp in zip(rem, sdir, pos))
+            t3 = jnp.full_like(q, 2.0)
+            stype = jnp.full_like(loc0, 3)
+            for a in range(3):
+                hit_a = frac[a] < t3
+                t3 = jnp.where(hit_a, frac[a], t3)
+                stype = jnp.where(hit_a, jnp.int32(a), stype)
+            t3 = t3 * jnp.float32(0.5)
+            sd = tuple(rr * t3 for rr in rem)
+            sm = tuple(pp + ss for pp, ss in zip(pos, sd))
+
+            q_eff = q * active.astype(jnp.float32)
+            v5 = q_eff * sd[0] * sd[1] * sd[2] * jnp.float32(ONE_THIRD)
+            contrib = []
+            for X, Y, Z in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
+                vX = q_eff * sd[X]
+                my, mz = sm[Y], sm[Z]
+                contrib += [
+                    vX * (one - my) * (one - mz) + v5,
+                    vX * (one + my) * (one - mz) - v5,
+                    vX * (one - my) * (one + mz) - v5,
+                    vX * (one + my) * (one + mz) + v5,
+                ]
+            contrib = jnp.concatenate(contrib, axis=0)         # (12, 128)
+            blk = blk + jax.lax.dot_general(
+                contrib, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+            rem = tuple(rr - ss for rr, ss in zip(rem, sd))
+            pos_n = tuple(pp + 2.0 * ss for pp, ss in zip(pos, sd))
+
+            done = stype == 3
+            hit = tuple(stype == a for a in range(3))
+            dirh = sum(jnp.where(h, d, 0.0) for h, d in zip(hit, sdir))
+            face = stype + 3 * (dirh > 0).astype(jnp.int32)    # int 0..5 (6=done)
+            face_c = jnp.minimum(face, jnp.int32(5))
+            excbit = jax.lax.shift_right_logical(
+                exc_i, face_c) & jnp.int32(1)
+            stridev = jnp.zeros_like(loc0)
+            for f in range(6):
+                stridev = jnp.where(face_c == f, strides_ref[f], stridev)
+            newloc = loc_cur + stridev
+            escape = (newloc < 0) | (newloc >= window)
+            exp_now = active & ~done & ((excbit > 0) | escape)
+            cross = active & ~done & ~exp_now
+            last = s == n_walk - 1
+
+            # position: crossers flip the hit coordinate exactly
+            pos_out = []
+            for a in range(3):
+                pos_out.append(jnp.where(cross & hit[a], -dirh, pos_n[a]))
+
+            fin_done = active & done
+            fin_any = fin_done | exp_now | (cross if last else
+                                            jnp.zeros_like(cross))
+            pox = jnp.where(fin_any, pos_out[0], pox)
+            poy = jnp.where(fin_any, pos_out[1], poy)
+            poz = jnp.where(fin_any, pos_out[2], poz)
+            prx = jnp.where(fin_any, rem[0], prx)
+            pry = jnp.where(fin_any, rem[1], pry)
+            prz = jnp.where(fin_any, rem[2], prz)
+            ptype = jnp.where(exp_now, stype,
+                              jnp.where(fin_any, jnp.int32(3), ptype))
+            pdir = jnp.where(exp_now, dirh, pdir)
+            pexpt = jnp.where(exp_now | (cross if last else
+                                         jnp.zeros_like(cross)),
+                              one, pexpt)
+            ploc = jnp.where(fin_any,
+                             jnp.where(cross, newloc, loc_cur), ploc)
+
+            loc_cur = jnp.where(cross, newloc, loc_cur)
+            pos = tuple(pos_out)
+            active = cross if not last else jnp.zeros_like(cross)
+
+            if s + 1 < n_walk:
+                ohT = ((jnp.where(active, loc_cur, jnp.int32(-1)) == iota_w)
+                       ).astype(jnp.float32)
+                # exception bits are small ints, exact in bf16
+                exc_f = jax.lax.dot_general(
+                    exc_win, ohT,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                exc_i = (exc_f + 0.5).astype(jnp.int32)
 
         out = jnp.concatenate([
-            pos_o[0], pos_o[1], pos_o[2], ux, uy, uz,
-            rem_o[0], rem_o[1], rem_o[2],
-            done, stype, dir_hit, inb.astype(jnp.float32),
-            jnp.zeros((3, LANE), jnp.float32),
-        ], axis=0)                                          # (16, 128)
+            pox, poy, poz, pux, puy, puz, prx, pry, prz,
+            (start + ploc).astype(jnp.float32),
+            ptype.astype(jnp.float32), pdir, pexpt,
+            jnp.zeros((NROWS - 13, LANE), jnp.float32),
+        ], axis=0)                                             # (16, 128)
         pout_ref[:, r * LANE:(r + 1) * LANE] = out
 
     idx = pl.multiple_of(start, LANE)
@@ -173,30 +277,38 @@ def _kernel(starts_ref, params_ref, loc_ref, pstate_ref, interp_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nv", "block", "window"))
-def fused_push_deposit(vox, pstate_t, interp_t, params, nv: int,
-                       block: int = 1024, window: int = 512):
-    """Run the fused kernel.
+                   static_argnames=("nv", "n_walk", "block", "window",
+                                    "pre"))
+def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
+                    n_walk: int = 4, block: int = 1024, window: int = 512,
+                    pre: int = PRE):
+    """Run the fused push+walk kernel.
 
-    vox: (np,) int32 (near-)sorted voxels (dead lanes must carry a valid
-         sorted position or be masked out via q=0 in pstate).
+    vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
+         q=0 in pstate).
     pstate_t: (7, np) float32 rows [dx,dy,dz,ux,uy,uz,q].
-    interp_t: (18, nv_pad) float32 (transposed interpolator table).
+    table_t: (19, nv_pad) float32 — 18 transposed interpolator rows
+             + the exception-bit row (``exception_bits``).
     params: (4,) float32 [qdt_2mc, cdt_dx, cdt_dy, cdt_dz].
+    strides: (6,) int32 per-face interior strides (``face_strides``).
 
-    Returns (acc_t (12, nv_pad), pout (16, np), in_window (np,) bool).
+    Returns (acc_t (12, nv_pad), pout (NROWS, np), in_window (np,) bool).
+    Lanes with in_window False passed through unpushed; lanes with
+    pout[PEXPT] set were exported mid-walk for the XLA fix-up path.
     """
     n = vox.shape[0]
     npad = _round_up(max(n, block), block)
     nb = npad // block
-    nv_pad = interp_t.shape[1]
+    nv_pad = table_t.shape[1]
+    window = min(window, nv_pad)   # tiny grids: whole table in-window
+    pre = min(pre, max(window - LANE, 0))
 
     if npad != n:
         vox = jnp.concatenate([vox, jnp.zeros((npad - n,), jnp.int32)])
         pstate_t = jnp.concatenate(
             [pstate_t, jnp.zeros((7, npad - n), jnp.float32)], axis=1)
 
-    starts_raw = vox[::block]
+    starts_raw = jnp.maximum(vox[::block] - pre, 0)
     starts = jnp.minimum((starts_raw // LANE) * LANE,
                          max(nv_pad - window, 0)).astype(jnp.int32)
     loc = vox - jnp.repeat(starts, block)
@@ -204,41 +316,42 @@ def fused_push_deposit(vox, pstate_t, interp_t, params, nv: int,
     loc = jnp.where(in_window, loc, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block // LANE, LANE),
-                         lambda i, s, p: (i, np.int32(0)),
+                         lambda i, s, p, t: (i, np.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, block), lambda i, s, p: (np.int32(0), i),
+            pl.BlockSpec((7, block), lambda i, s, p, t: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((18, nv_pad),
-                         lambda i, s, p: (np.int32(0), np.int32(0)),
+            pl.BlockSpec((N_TABLE, nv_pad),
+                         lambda i, s, p, t: (np.int32(0), np.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((12, nv_pad),
-                         lambda i, s, p: (np.int32(0), np.int32(0)),
+                         lambda i, s, p, t: (np.int32(0), np.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NROWS, block), lambda i, s, p: (np.int32(0), i),
+            pl.BlockSpec((NROWS, block), lambda i, s, p, t: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
     )
     acc_t, pout = pl.pallas_call(
-        functools.partial(_kernel, window=window),
+        functools.partial(_kernel, window=window, n_walk=n_walk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((12, nv_pad), jnp.float32),
             jax.ShapeDtypeStruct((NROWS, npad), jnp.float32),
         ],
-    )(starts, params, loc.reshape(nb * (block // LANE), LANE),
-      pstate_t, interp_t)
+    )(starts, params, strides,
+      loc.reshape(nb * (block // LANE), LANE), pstate_t, table_t)
 
     return acc_t, pout[:, :n], in_window[:n]
 
 
-def fused_vmem_ok(nv: int, window: int = 512) -> bool:
-    """Whether the resident interp+acc tables fit comfortably in VMEM."""
+def fused_vmem_ok(nv: int, nxg: int = 0, window: int = 512) -> bool:
+    """Whether the resident table+acc fit comfortably in VMEM and the
+    window-bias headroom covers a y-crossing (nxg < PRE)."""
     nv_pad = _round_up(nv + 1, LANE)
     bytes_needed = (24 + 16) * nv_pad * 4  # sublane-padded f32 tables
-    return bytes_needed < 11 * 2 ** 20
+    return bytes_needed < 11 * 2 ** 20 and nxg <= PRE
