@@ -28,8 +28,9 @@ def main():
 
     sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2)  # 2 species
 
-    # warmup / compile
-    sim.advance(1)
+    # warmup / compile (two steps: the sorting and non-sorting advance
+    # variants are separate executables when resort_interval > 1)
+    sim.advance(2)
     jax.block_until_ready(sim.state)
 
     t0 = time.perf_counter()

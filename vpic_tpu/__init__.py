@@ -16,6 +16,8 @@ Physics per step (reference: src/vpic/advance.cxx:13-244):
   interpolator -> diagnostics.
 """
 
+import os as _os
+
 import jax as _jax
 
 # fp64 is required for the reference's double-precision reductions
@@ -23,6 +25,16 @@ import jax as _jax
 # coordinate math (src/vpic/misc.cxx:47-75).  All bulk state remains fp32;
 # every array constructor in this package passes an explicit dtype.
 _jax.config.update("jax_enable_x64", True)
+
+# The advance graph is large (minutes of XLA compile); cache compiled
+# executables across processes.  Users override via JAX_COMPILATION_CACHE_DIR
+# or VPIC_TPU_NO_COMPILE_CACHE.
+if (not _os.environ.get("VPIC_TPU_NO_COMPILE_CACHE")
+        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/vpic_tpu/jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 __version__ = "0.1.0"
 

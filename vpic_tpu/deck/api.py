@@ -466,6 +466,12 @@ class Simulation:
                 g, self.mesh, opts=self.opts,
                 boundary_handlers=tuple(self._boundary_handlers),
                 emitters=tuple(self._emitters), **hooks)
+            self._advance_fn_nosort = (
+                dist.make_distributed_advance(
+                    g, self.mesh, opts=self.opts,
+                    boundary_handlers=tuple(self._boundary_handlers),
+                    emitters=tuple(self._emitters), do_sort=False, **hooks)
+                if self.opts.resort_interval > 1 else None)
             self.comm = ShardComm(g, dist._axis_names_for(g))
         else:
             state = self._build_shard_state((0, 0, 0), mat)
@@ -476,12 +482,21 @@ class Simulation:
                 g, self.comm, pcomm=None, opts=self.opts,
                 boundary_handlers=tuple(self._boundary_handlers),
                 emitters=tuple(self._emitters), **hooks))
+            self._advance_fn_nosort = (jax.jit(make_advance(
+                g, self.comm, pcomm=None, opts=self.opts,
+                boundary_handlers=tuple(self._boundary_handlers),
+                emitters=tuple(self._emitters), do_sort=False, **hooks))
+                if self.opts.resort_interval > 1 else None)
         self.state = state
         return state
 
     def advance(self, n=1):
+        k = self.opts.resort_interval
         for _ in range(n):
-            self.state = self._advance_fn(self.state)
+            fn = self._advance_fn
+            if k > 1 and self.step_count % k != 0:
+                fn = self._advance_fn_nosort
+            self.state = fn(self.state)
             self.step_count += 1
         return self.state
 
@@ -660,7 +675,16 @@ class Simulation:
             if g.is_multishard:
                 self._advance_fn = dist.make_distributed_advance(
                     g, self.mesh, opts=self.opts, **self._hooks)
+                self._advance_fn_nosort = (
+                    dist.make_distributed_advance(
+                        g, self.mesh, opts=self.opts, do_sort=False,
+                        **self._hooks)
+                    if self.opts.resort_interval > 1 else None)
             else:
                 self._advance_fn = jax.jit(make_advance(
                     g, self.comm, pcomm=None, opts=self.opts,
                     **self._hooks))
+                self._advance_fn_nosort = (jax.jit(make_advance(
+                    g, self.comm, pcomm=None, opts=self.opts,
+                    do_sort=False, **self._hooks))
+                    if self.opts.resort_interval > 1 else None)

@@ -64,12 +64,14 @@ def shard_state(state, mesh: Mesh):
 
 
 def make_distributed_advance(g: Grid, mesh: Mesh,
-                             opts: StepOptions = StepOptions(), **hooks):
+                             opts: StepOptions = StepOptions(),
+                             do_sort: bool = True, **hooks):
     """Build the jitted multi-shard advance: distributed SimState ->
     distributed SimState."""
     names = _axis_names_for(g)
     comm = ShardComm(g, axis_names=names)
-    adv = make_advance(g, comm, pcomm=comm, opts=opts, **hooks)
+    adv = make_advance(g, comm, pcomm=comm, opts=opts, do_sort=do_sort,
+                       **hooks)
 
     def per_shard(state):
         state = jax.tree.map(lambda a: a.reshape(a.shape[3:]), state)

@@ -40,6 +40,14 @@ class StepOptions:
     sync_shared_interval: int = 0
     n_walk: int = 4
     max_inj: int = 16384  # pending/injector buffer capacity
+    # Re-sort particles by voxel every k steps (the reference's per-species
+    # sort_interval, sort_p.c; the fused kernel tolerates the drift between
+    # sorts via its windowed out-of-window fix-up path).  The deck API
+    # compiles sorting and non-sorting advance variants and alternates.
+    resort_interval: int = 1
+    # Capacity of the fused kernel's per-species fix-up buffer (exports +
+    # out-of-window lanes); None = auto from max_np and resort_interval.
+    fix_cap: int | None = None
     # Use the sorted one-hot-matmul Pallas deposition kernel (requires the
     # accumulator (16, nv_pad) to fit VMEM; None = auto by grid size) and
     # keep particles sorted by voxel every step.
@@ -114,6 +122,7 @@ def make_advance(
     user_field_injection: Optional[Callable] = None,
     emitters: tuple = (),
     boundary_handlers: tuple = (),
+    do_sort: bool = True,
 ):
     """Build the (jittable) advance function for a fixed configuration.
     The ``user_*`` hooks are jax-traceable callbacks
@@ -156,12 +165,15 @@ def make_advance(
         nb = state.grid_arrays.neighbor
         acc = jnp.zeros((g.nv, 12), dtype=jnp.float32)
 
-        # -- sort (deposition locality; every step when the sorted Pallas
-        # deposit is active, else on the reference's sort_interval) --
+        # -- sort (deposition locality; on resort_interval steps when the
+        # sorted Pallas paths are active — they tolerate inter-sort drift
+        # via the out-of-window fix-up — else on the reference's
+        # per-species sort_interval) --
         species = []
         for sp in state.species:
             if sorted_deposit:
-                sp = paux.sort_p(sp)
+                if do_sort:
+                    sp = paux.sort_p(sp)
             elif sp.sort_interval > 0:
                 hit = (state.step % sp.sort_interval) == 0
                 sp = lax.cond(hit, paux.sort_p, lambda s: s, sp)
@@ -176,10 +188,19 @@ def make_advance(
                     if fused_push else None)
         species = []
         for sp in state.species:
+            fix_cap = opts.fix_cap
+            if fix_cap is None:
+                # exports only (sorted every step) vs. drift accumulation:
+                # one unsorted step drifts at most one crossing, which the
+                # window bias absorbs; longer intervals spill out-of-window
+                k = opts.resort_interval
+                frac = 256 if k <= 1 else (128 if k <= 2 else 24)
+                fix_cap = max(8192, sp.max_np // frac)
             sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb, g,
                                       n_walk=opts.n_walk,
                                       sorted_deposit=sorted_deposit,
-                                      fused=fused_push, interp_t=interp_t)
+                                      fused=fused_push, interp_t=interp_t,
+                                      fix_cap=fix_cap)
             species.append(sp)
         state = dataclasses.replace(state, species=tuple(species))
 

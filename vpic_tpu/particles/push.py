@@ -132,6 +132,34 @@ def compact_indices(mask, k: int, max_np: int):
     return jnp.where(valid, sel, max_np), n, valid
 
 
+def compact_indices_hier(mask, k: int, max_np: int, row_cap: int = 2048):
+    """Two-level :func:`compact_indices` for very sparse masks over very
+    long arrays: XLA's scatter costs one update per INPUT element, so the
+    flat version pays O(max_np) even when only a handful of lanes are set.
+    Here 128-lane rows containing any set lane are compacted first (the
+    scatter shrinks by 128x), the survivors' rows are row-gathered, and
+    only row_cap*128 candidate lanes go through the flat pass.  True lanes
+    beyond ``row_cap`` rows are dropped (callers count them against k).
+
+    Returns (sel, n_true, valid) like :func:`compact_indices`."""
+    n = mask.shape[0]
+    nr = (n + 127) // 128
+    if nr * 128 != n:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((nr * 128 - n,), mask.dtype)])
+    m2 = mask.reshape(nr, 128)
+    row_cap = min(row_cap, nr)
+    rsel, _, rvalid = compact_indices(jnp.any(m2, axis=1), row_cap, nr)
+    rsafe = jnp.where(rvalid, rsel, 0)
+    cand = m2[rsafe] & rvalid[:, None]              # (row_cap, 128)
+    csel, n_c, cvalid = compact_indices(cand.reshape(-1), k, row_cap * 128)
+    csafe = jnp.where(cvalid, csel, 0)
+    sel = rsafe[csafe // 128] * 128 + csafe % 128
+    sel = jnp.where(cvalid & (sel < n), sel, max_np)
+    n_true = jnp.sum(mask).astype(jnp.int32)        # incl. dropped rows
+    return sel, n_true, cvalid & (sel < max_np)
+
+
 def _neighbor_lookup(vox, face, done, neighbor, g):
     """neighbor[vox, face].  Row-gather of the 6-entry neighbor row (row
     gathers amortize far better than per-element gathers on TPU), then a
@@ -245,7 +273,7 @@ def streak_walk(st: WalkState, acc, neighbor, g, n_iter: int):
 def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
               max_nm: int | None = None, n_walk: int = 4,
               sorted_deposit: bool = False, fused: bool = False,
-              interp_t=None, kernel_opts=None):
+              interp_t=None, kernel_opts=None, fix_cap: int | None = None):
     """One particle push for a whole species.
 
     Segment 1 of the streak walk runs vectorized over ALL particles (for
@@ -272,7 +300,7 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     if fused:
         return _advance_p_fused(sp, interp, acc, neighbor, g, alive, vox,
                                 n_walk=n_walk, table_t=interp_t,
-                                kernel_opts=kernel_opts)
+                                kernel_opts=kernel_opts, fix_cap=fix_cap)
 
     ip = interp[vox]
 
@@ -475,7 +503,7 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
 
     max_np = sp.max_np
     if fix_cap is None:
-        fix_cap = max(4096, max_np // 64)
+        fix_cap = max(8192, max_np // 64)
     K = min(fix_cap, max_np)
 
     qdt_2mc = (0.5 * sp.q_m * g.dt / g.cvac).astype(jnp.float32)
@@ -509,7 +537,7 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     vox_o = jnp.where(alive, (pout[pk.PVOX] + 0.5).astype(jnp.int32), sp.i)
 
     # ---- compacted fix-up buffer ----
-    sel, n_fix, valid = compact_indices(fix, K, max_np)
+    sel, n_fix, valid = compact_indices_hier(fix, K, max_np)
     safe = jnp.where(valid, sel, 0)
     redo = valid & ~in_win[safe]          # never pushed (sort drift)
 
@@ -573,7 +601,8 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     # fix-lanes beyond capacity keep their frozen kernel state; their
     # remaining displacement is dropped and counted, mirroring the
     # "Ignoring %i unprocessed movers" semantics (advance.cxx:98-103)
-    nm = jnp.sum(pend).astype(jnp.int32) + jnp.maximum(n_fix - K, 0)
+    nm = (jnp.sum(pend).astype(jnp.int32)
+          + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0))
 
     sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox_o, ux=uxo, uy=uyo, uz=uzo,
                     mdx=mdx, mdy=mdy, mdz=mdz, pc=pc, nm=nm)

@@ -102,9 +102,10 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, LANE), 0)
     win = table_ref[:, pl.ds(pl.multiple_of(start, LANE), window)]
     exc_win = win[EXC_ROW:EXC_ROW + 1, :]                      # (1, W)
-    blk = jnp.zeros((12, window), jnp.float32)
+    blk0 = jnp.zeros((12, window), jnp.float32)
 
-    for r in range(rows):
+    def row_body(r, blk):
+        r128 = r * jnp.int32(LANE)
         loc0 = loc_ref[r, :][None, :]                          # (1,128) int32
         inb = (loc0 >= 0) & (loc0 < window)
         ohT = ((jnp.where(inb, loc0, jnp.int32(-1)) == iota_w)
@@ -116,7 +117,7 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-        ps = pstate_ref[:, r * LANE:(r + 1) * LANE]            # (7, 128)
+        ps = pstate_ref[:, pl.ds(r128, LANE)]                  # (7, 128)
         dx0, dy0, dz0 = ps[0:1], ps[1:2], ps[2:3]
         ux0, uy0, uz0 = ps[3:4], ps[4:5], ps[5:6]
         q = ps[6:7]
@@ -176,12 +177,18 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
         active = inb
 
         # ---- the streak walk (move_p.c:34-134), all segments in-kernel ----
-        for s in range(n_walk):
+        carry = (blk, ohT, exc_i, loc_cur, active, pos, rem,
+                 (pox, poy, poz), (prx, pry, prz),
+                 ptype, pdir, pexpt, ploc)
+
+        def segment(carry, last, rebuild_oh):
+            (blk, ohT, exc_i, loc_cur, active, pos, rem,
+             po, pr, ptype, pdir, pexpt, ploc) = carry
             sdir = tuple(jnp.where(rr > 0, one, -one) for rr in rem)
             frac = tuple(jnp.where(rr == 0, big, (dd - pp) / rr)
                          for rr, dd, pp in zip(rem, sdir, pos))
-            t3 = jnp.full_like(q, 2.0)
-            stype = jnp.full_like(loc0, 3)
+            t3 = jnp.full_like(frac[0], 2.0)
+            stype = jnp.full_like(loc_cur, 3)
             for a in range(3):
                 hit_a = frac[a] < t3
                 t3 = jnp.where(hit_a, frac[a], t3)
@@ -214,33 +221,28 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
             done = stype == 3
             hit = tuple(stype == a for a in range(3))
             dirh = sum(jnp.where(h, d, 0.0) for h, d in zip(hit, sdir))
-            face = stype + 3 * (dirh > 0).astype(jnp.int32)    # int 0..5 (6=done)
+            face = stype + 3 * (dirh > 0).astype(jnp.int32)    # 0..5 (6=done)
             face_c = jnp.minimum(face, jnp.int32(5))
             excbit = jax.lax.shift_right_logical(
                 exc_i, face_c) & jnp.int32(1)
-            stridev = jnp.zeros_like(loc0)
+            stridev = jnp.zeros_like(loc_cur)
             for f in range(6):
                 stridev = jnp.where(face_c == f, strides_ref[f], stridev)
             newloc = loc_cur + stridev
             escape = (newloc < 0) | (newloc >= window)
             exp_now = active & ~done & ((excbit > 0) | escape)
             cross = active & ~done & ~exp_now
-            last = s == n_walk - 1
 
             # position: crossers flip the hit coordinate exactly
-            pos_out = []
-            for a in range(3):
-                pos_out.append(jnp.where(cross & hit[a], -dirh, pos_n[a]))
+            pos_out = tuple(
+                jnp.where(cross & hit[a], -dirh, pos_n[a]) for a in range(3))
 
             fin_done = active & done
             fin_any = fin_done | exp_now | (cross if last else
                                             jnp.zeros_like(cross))
-            pox = jnp.where(fin_any, pos_out[0], pox)
-            poy = jnp.where(fin_any, pos_out[1], poy)
-            poz = jnp.where(fin_any, pos_out[2], poz)
-            prx = jnp.where(fin_any, rem[0], prx)
-            pry = jnp.where(fin_any, rem[1], pry)
-            prz = jnp.where(fin_any, rem[2], prz)
+            po = tuple(jnp.where(fin_any, pos_out[a], po[a])
+                       for a in range(3))
+            pr = tuple(jnp.where(fin_any, rem[a], pr[a]) for a in range(3))
             ptype = jnp.where(exp_now, stype,
                               jnp.where(fin_any, jnp.int32(3), ptype))
             pdir = jnp.where(exp_now, dirh, pdir)
@@ -251,10 +253,9 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
                              jnp.where(cross, newloc, loc_cur), ploc)
 
             loc_cur = jnp.where(cross, newloc, loc_cur)
-            pos = tuple(pos_out)
             active = cross if not last else jnp.zeros_like(cross)
 
-            if s + 1 < n_walk:
+            if rebuild_oh:
                 ohT = ((jnp.where(active, loc_cur, jnp.int32(-1)) == iota_w)
                        ).astype(jnp.float32)
                 # exception bits are small ints, exact in bf16
@@ -264,13 +265,33 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
                     preferred_element_type=jnp.float32)
                 exc_i = (exc_f + 0.5).astype(jnp.int32)
 
+            return (blk, ohT, exc_i, loc_cur, active, pos_out, rem,
+                    po, pr, ptype, pdir, pexpt, ploc)
+
+        # NOTE: skipping all-done tail segments behind a value-carrying
+        # lax.cond ICEs the Mosaic compiler (tpu_compile_helper exit 1);
+        # all segments run unconditionally (lanes are where-masked).
+        for s in range(n_walk):
+            last = s == n_walk - 1
+            carry = segment(carry, last=last, rebuild_oh=not last)
+
+        (blk, ohT, exc_i, loc_cur, active, pos, rem,
+         (pox, poy, poz), (prx, pry, prz),
+         ptype, pdir, pexpt, ploc) = carry
+
         out = jnp.concatenate([
             pox, poy, poz, pux, puy, puz, prx, pry, prz,
             (start + ploc).astype(jnp.float32),
             ptype.astype(jnp.float32), pdir, pexpt,
             jnp.zeros((NROWS - 13, LANE), jnp.float32),
         ], axis=0)                                             # (16, 128)
-        pout_ref[:, r * LANE:(r + 1) * LANE] = out
+        pout_ref[:, pl.ds(r128, LANE)] = out
+        return blk
+
+    # rolled loop over rows: 8x less unrolled Mosaic code than a Python
+    # loop, which cuts kernel compile time from minutes to tens of seconds
+    blk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(rows),
+                            row_body, blk0)
 
     idx = pl.multiple_of(start, LANE)
     acc_ref[:, pl.ds(idx, window)] += blk
