@@ -85,7 +85,8 @@ def exception_bits(neighbor, g) -> jax.Array:
 
 
 def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
-            table_ref, acc_ref, pout_ref, *, window, n_walk):
+            table_ref, acc_ref, pout_ref, *, window, n_walk,
+            precision=jax.lax.Precision.HIGHEST):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -101,21 +102,45 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
     rows = loc_ref.shape[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, LANE), 0)
     win = table_ref[:, pl.ds(pl.multiple_of(start, LANE), window)]
-    exc_win = win[EXC_ROW:EXC_ROW + 1, :]                      # (1, W)
+    exc_win = win[EXC_ROW:EXC_ROW + 1, :].astype(jnp.bfloat16)  # (1, W)
     blk0 = jnp.zeros((12, window), jnp.float32)
+
+    def split3(v):
+        """Exact 3-way bf16 split: v == hi + mid + lo in f32 (any f32
+        mantissa fits 3x8 bits).  Against an exact-bf16 one-hot operand,
+        three DEFAULT-precision MXU passes then reproduce the f32 matmul
+        bit-exactly at half the cost of Precision.HIGHEST (6 passes)."""
+        hi = v.astype(jnp.bfloat16)
+        r1 = v - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+
+    def dot3(v, ohT, dims):
+        """Exact f32 dot against a 0/1 bf16 one-hot via split3."""
+        out = None
+        for part in split3(v):
+            d = jax.lax.dot_general(part, ohT, dimension_numbers=dims,
+                                    preferred_element_type=jnp.float32)
+            out = d if out is None else out + d
+        return out
+
+    win3 = split3(win)
 
     def row_body(r, blk):
         r128 = r * jnp.int32(LANE)
         loc0 = loc_ref[r, :][None, :]                          # (1,128) int32
         inb = (loc0 >= 0) & (loc0 < window)
         ohT = ((jnp.where(inb, loc0, jnp.int32(-1)) == iota_w)
-               ).astype(jnp.float32)                            # (W, 128)
+               ).astype(jnp.bfloat16)                           # (W, 128)
 
-        # ---- gather: (19, W) x (W, 128) -> (19, 128) on the MXU ----
-        C = jax.lax.dot_general(
-            win, ohT, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # ---- gather: (19, W) x (W, 128) -> (19, 128), exact 3-pass ----
+        gdims = (((1,), (0,)), ((), ()))
+        C = None
+        for part in win3:
+            d = jax.lax.dot_general(part, ohT, dimension_numbers=gdims,
+                                    preferred_element_type=jnp.float32)
+            C = d if C is None else C + d
 
         ps = pstate_ref[:, pl.ds(r128, LANE)]                  # (7, 128)
         dx0, dy0, dz0 = ps[0:1], ps[1:2], ps[2:3]
@@ -210,10 +235,7 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
                     vX * (one + my) * (one + mz) + v5,
                 ]
             contrib = jnp.concatenate(contrib, axis=0)         # (12, 128)
-            blk = blk + jax.lax.dot_general(
-                contrib, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            blk = blk + dot3(contrib, ohT, (((1,), (1,)), ((), ())))
 
             rem = tuple(rr - ss for rr, ss in zip(rem, sd))
             pos_n = tuple(pp + 2.0 * ss for pp, ss in zip(pos, sd))
@@ -257,7 +279,7 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
 
             if rebuild_oh:
                 ohT = ((jnp.where(active, loc_cur, jnp.int32(-1)) == iota_w)
-                       ).astype(jnp.float32)
+                       ).astype(jnp.bfloat16)
                 # exception bits are small ints, exact in bf16
                 exc_f = jax.lax.dot_general(
                     exc_win, ohT,
@@ -299,10 +321,10 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nv", "n_walk", "block", "window",
-                                    "pre"))
+                                    "pre", "mxu_precision"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
-                    pre: int = PRE):
+                    pre: int = PRE, mxu_precision: str = "highest"):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -357,8 +379,12 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                          memory_space=pltpu.VMEM),
         ],
     )
+    precision = {"highest": jax.lax.Precision.HIGHEST,
+                 "high": jax.lax.Precision.HIGH,
+                 "default": jax.lax.Precision.DEFAULT}[mxu_precision]
     acc_t, pout = pl.pallas_call(
-        functools.partial(_kernel, window=window, n_walk=n_walk),
+        functools.partial(_kernel, window=window, n_walk=n_walk,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((12, nv_pad), jnp.float32),
