@@ -119,3 +119,86 @@ def test_eight_shard_runs():
     s.advance(3)
     e = s.energies()
     assert all(np.isfinite(v) for v in e.values())
+
+
+def build_bounded(px=1, pz=1, seed=9):
+    """Reflecting x faces + absorbing y faces: exercises non-periodic
+    global faces of a sharded axis (reflect resolves in-walk, absorb goes
+    through the guard-list rounds with rhob deposition)."""
+    nx, ny, nz = 8, 6, 4
+    L = 1.0
+    sim = Simulation(seed=seed)
+    sim.define_units(1.0, 1.0)
+    dt = 0.9 * sim.courant_length(L, L, L, nx, ny, nz)
+    sim.define_timestep(dt)
+    sim.define_reflecting_grid(0, 0, 0, L, L, L, nx, ny, nz, px, 1, pz)
+    sim.set_domain_particle_bc(1, "absorb")
+    sim.set_domain_particle_bc(4, "absorb")
+    # absorbed-charge rhob on shared shard faces is only defined after a
+    # synchronize_rho pass; run the div-E clean like the reference decks do
+    import dataclasses as _dc
+    sim.opts = _dc.replace(sim.opts, clean_div_e_interval=1)
+    sim.define_material("vacuum")
+    e = sim.define_species("electron", -1.0, 4096)
+
+    rng = np.random.default_rng(777)
+    n = 1024
+    x, y, z = (rng.uniform(0.05, 0.95, n) for _ in range(3))
+    ux, uy, uz = (rng.normal(0, 0.4, n) for _ in range(3))
+    sim.inject_particle(e, x, y, z, ux, uy, uz, q=-1.0 / n)
+    sim.set_field("ex", lambda x, y, z: 0.01 * np.sin(np.pi * x))
+    sim.finalize()
+    return sim
+
+
+def _alive_count(sim):
+    sp = sim.state.species[0]
+    a = np.asarray(sp.i)
+    if a.ndim == 1:
+        return int(np.asarray(sp.alive).sum())
+    live = (a >= 0) & (
+        np.arange(sp.max_np)[None, None, None, :]
+        < np.asarray(sp.np)[..., None])
+    return int(live.sum())
+
+
+def test_two_shard_reflect_absorb():
+    """Sharded non-periodic faces must match the single-shard run."""
+    if not _needs_mesh("test_two_shard_reflect_absorb", 2):
+        return
+    s1 = build_bounded(px=1)
+    s2 = build_bounded(px=2)
+    n_steps = 6
+    s1.advance(n_steps)
+    s2.advance(n_steps)
+
+    for comp in ("ex", "ey", "ez", "cbx", "cby", "cbz", "rhob"):
+        a = global_field(s1, comp)
+        b = global_field(s2, comp)
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5, err_msg=comp)
+
+    # identical absorption on both topologies
+    n1, n2 = _alive_count(s1), _alive_count(s2)
+    assert n1 == n2
+    assert n1 < 1024  # something was absorbed through the y faces
+
+    e1, e2 = s1.energies(), s2.energies()
+    for k in e1:
+        np.testing.assert_allclose(e1[k], e2[k], rtol=2e-4, atol=1e-9,
+                                   err_msg=k)
+
+
+def test_3d_eight_shard_migration():
+    """(2,2,2) topology: 3D migration across all axes vs 1 shard."""
+    if not _needs_mesh("test_3d_eight_shard_migration", 8):
+        return
+    s1 = build(px=1, py=1, pz=1, seed=21)
+    s8 = build(px=2, py=2, pz=2, seed=21)
+    n_steps = 4
+    s1.advance(n_steps)
+    s8.advance(n_steps)
+    for comp in ("ex", "cbz", "jfx"):
+        a = global_field(s1, comp)
+        b = global_field(s8, comp)
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5, err_msg=comp)
+    assert _alive_count(s1) == _alive_count(s8) == 1024

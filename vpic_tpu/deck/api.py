@@ -131,6 +131,8 @@ class Simulation:
         self.state: Optional[SimState] = None
         self.opts = StepOptions()
         self._advance_fn = None
+        self._advance_fn_nosort = None
+        self._traj = None
         self._energies_fn = None
         self.mesh = None
         self.step_count = 0
@@ -620,6 +622,77 @@ class Simulation:
             sp_c = centered(st)
             iodump.dump_particles(sp_c, g, fbase, self.step_count,
                                   shard, rank, nproc, ftag)
+
+    # -- tracers (the pdlfs tracer deck library, trecon-part/tracer.cxx) --
+    def make_tracers(self, src_species, name, stride=1, max_np=None,
+                     tag_base=1):
+        """Create a zero-charge tracer species from every ``stride``-th
+        staged particle of ``src_species`` (tag_tracer + hijack_tracers,
+        tracer.cxx:118-198; q=0 already makes the core loop's deposition
+        skip them, so no species-list detach is needed).  Call between
+        injection and finalize."""
+        batches = src_species["batches"]
+        xs = np.concatenate([b["x"] for b in batches]) if batches else \
+            np.zeros((0,))
+        cat = lambda k: (np.concatenate([b[k] for b in batches])
+                         if batches else np.zeros((0,)))
+        sel = slice(0, None, stride)
+        n = xs[sel].shape[0]
+        if max_np is None:
+            max_np = max(8 * n, 64)
+        tr = self.define_species(name, src_species["q_m"], max_np)
+        self.inject_particle(
+            tr, xs[sel], cat("y")[sel], cat("z")[sel],
+            cat("ux")[sel], cat("uy")[sel], cat("uz")[sel], q=0.0,
+            tag=np.arange(tag_base, tag_base + n, dtype=np.int32))
+        return tr
+
+    def collect_trajectories(self):
+        """Record every tagged particle's state at the current step
+        (the per-step half of dump_traj, tracer.cxx:254-301)."""
+        from ..io import tracers as iotracers
+
+        if self._traj is None:
+            self._traj = iotracers.TrajectoryAccumulator()
+        g = self.grid
+        for h in self._species:
+            recs = []
+            for shard, rank, st in self._shard_states():
+                sp = st.species[h["sid"]]
+                arrays = dict(tag=sp.tag, alive=sp.alive,
+                              dx=sp.dx, dy=sp.dy, dz=sp.dz, i=sp.i,
+                              ux=sp.ux, uy=sp.uy, uz=sp.uz)
+                rec = iotracers.collect_records(arrays, self.step_count,
+                                                g.dt)
+                if rec.shape[0]:
+                    recs.append(rec)
+            if recs:
+                self._traj.add(h["name"], np.concatenate(recs, axis=0))
+
+    def dump_traj(self, dirname, per_tag_files=False):
+        """Write accumulated tracer trajectories (dump_traj,
+        tracer.cxx:254-301; per_tag_files=True reproduces the reference's
+        one-file-per-tracer append layout)."""
+        from ..io import tracers as iotracers
+
+        if self._traj is None:
+            return []
+        return iotracers.write_traj(self._traj, dirname, per_tag_files)
+
+    def write_global_header(self, base, field_dp=None, species_dumps=None,
+                            field_dir="fields", field_base="fields"):
+        """Banded-dump global header <base>.vpc (dump.cxx:978-1115)."""
+        from ..io.banded import DumpParameters
+        from ..io.global_header import write_global_header
+
+        if field_dp is None:
+            field_dp = DumpParameters()
+        if species_dumps is None:
+            species_dumps = [
+                (h["name"], "hydro", h["name"], DumpParameters())
+                for h in self._species]
+        return write_global_header(base, self.grid, field_dp,
+                                   species_dumps, field_dir, field_base)
 
     def checksum_fields(self):
         """SHA-1 of the full field state (output_checksum_fields,
