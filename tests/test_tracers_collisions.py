@@ -129,3 +129,21 @@ def test_global_header(tmp_path):
     assert '"Electric Field" VECTOR 3 FLOATING_POINT 4' in text
     assert "NUM_OUTPUT_SPECIES 1" in text
     assert '"Stress Tensor" TENSOR 6 FLOATING_POINT 4' in text
+
+
+def test_h5part_tracer_output(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    sim = build()
+    sim.collect_trajectories()
+    for _ in range(3):
+        sim.advance(1)
+        sim.collect_trajectories()
+    path = sim.dump_tracers_h5part(tmp_path / "tracers.h5part", "e_tracer")
+    with h5py.File(path, "r") as f:
+        steps = sorted(k for k in f.keys() if k.startswith("Step#"))
+        assert len(steps) == 4
+        g0 = f["Step#0"]
+        for name in ("dX", "dY", "dZ", "i", "Ux", "Uy", "Uz", "q"):
+            assert name in g0
+        assert g0["dX"].shape == (10,)
+        assert set(np.asarray(f["Step#3"]["q"])) == set(range(1, 11))

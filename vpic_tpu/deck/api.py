@@ -483,23 +483,61 @@ class Simulation:
             self._advance_fn = jax.jit(make_advance(
                 g, self.comm, pcomm=None, opts=self.opts,
                 boundary_handlers=tuple(self._boundary_handlers),
-                emitters=tuple(self._emitters), **hooks))
+                emitters=tuple(self._emitters), **hooks),
+                donate_argnums=0)
             self._advance_fn_nosort = (jax.jit(make_advance(
                 g, self.comm, pcomm=None, opts=self.opts,
                 boundary_handlers=tuple(self._boundary_handlers),
-                emitters=tuple(self._emitters), do_sort=False, **hooks))
+                emitters=tuple(self._emitters), do_sort=False, **hooks),
+                donate_argnums=0)
                 if self.opts.resort_interval > 1 else None)
+        self._build_cycle(g, hooks)
         self.state = state
         return state
 
+    def _build_cycle(self, g, hooks):
+        """One jitted executable for a full resort cycle (1 sorting step +
+        k-1 non-sorting steps).  Alternating between separate executables
+        per step defeats the runtime's dispatch pipelining (each switch
+        costs a host round trip comparable to the step itself); a single
+        k-step executable amortizes it."""
+        k = self.opts.resort_interval
+        if k <= 1 or g.is_multishard:
+            self._advance_cycle = None
+            return
+        adv_s = make_advance(
+            g, self.comm, pcomm=None, opts=self.opts,
+            boundary_handlers=tuple(self._boundary_handlers),
+            emitters=tuple(self._emitters), **hooks)
+        adv_n = make_advance(
+            g, self.comm, pcomm=None, opts=self.opts,
+            boundary_handlers=tuple(self._boundary_handlers),
+            emitters=tuple(self._emitters), do_sort=False, **hooks)
+
+        def cycle(state):
+            state = adv_s(state)
+            for _ in range(k - 1):
+                state = adv_n(state)
+            return state
+
+        self._advance_cycle = jax.jit(cycle, donate_argnums=0)
+
     def advance(self, n=1):
         k = self.opts.resort_interval
-        for _ in range(n):
+        left = n
+        while left > 0:
+            if (getattr(self, "_advance_cycle", None) is not None
+                    and left >= k and self.step_count % k == 0):
+                self.state = self._advance_cycle(self.state)
+                self.step_count += k
+                left -= k
+                continue
             fn = self._advance_fn
             if k > 1 and self.step_count % k != 0:
                 fn = self._advance_fn_nosort
             self.state = fn(self.state)
             self.step_count += 1
+            left -= 1
         return self.state
 
     # -- diagnostics -------------------------------------------------------
@@ -678,6 +716,13 @@ class Simulation:
         if self._traj is None:
             return []
         return iotracers.write_traj(self._traj, dirname, per_tag_files)
+
+    def dump_tracers_h5part(self, path, species_name):
+        """H5Part tracer file (trecon-hdf5's dumptracer_h5part.cxx)."""
+        from ..io import tracers as iotracers
+
+        assert self._traj is not None, "call collect_trajectories() first"
+        return iotracers.write_h5part(self._traj, path, species_name)
 
     def write_global_header(self, base, field_dp=None, species_dumps=None,
                             field_dir="fields", field_base="fields"):

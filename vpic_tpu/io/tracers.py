@@ -145,3 +145,28 @@ def global_positions(g, rows: np.ndarray, origin=(None, None, None)):
     y = y0 + ((iy - 1) + (rows[:, 2] + 1) * 0.5) * g.dy
     z = z0 + ((iz - 1) + (rows[:, 3] + 1) * 0.5) * g.dz
     return x, y, z
+
+
+def write_h5part(acc: TrajectoryAccumulator, path, species_name: str):
+    """H5Part-layout tracer output (decks/trecon-hdf5/dumptracer_h5part.cxx:
+    24-81): one ``/Step#<n>`` group per recorded step with the reference's
+    dataset names dX,dY,dZ,i,Ux,Uy,Uz,q — ``q`` carries the tracer tag as
+    the reference's Int32 write does.  Requires h5py."""
+    import h5py
+
+    rec = acc.records(species_name)
+    times = np.unique(rec[:, 0])
+    with h5py.File(path, "w") as f:
+        for n, t in enumerate(times):
+            sel = rec[rec[:, 0] == t]
+            grp = f.create_group(f"Step#{n}")
+            grp.attrs["TimeValue"] = float(t)
+            grp.create_dataset("dX", data=sel[:, 1].astype("<f4"))
+            grp.create_dataset("dY", data=sel[:, 2].astype("<f4"))
+            grp.create_dataset("dZ", data=sel[:, 3].astype("<f4"))
+            grp.create_dataset("i", data=sel[:, 4].astype("<i4"))
+            grp.create_dataset("Ux", data=sel[:, 5].astype("<f4"))
+            grp.create_dataset("Uy", data=sel[:, 6].astype("<f4"))
+            grp.create_dataset("Uz", data=sel[:, 7].astype("<f4"))
+            grp.create_dataset("q", data=_tags_of(sel).astype("<i4"))
+    return path
