@@ -519,9 +519,11 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
     strides = jnp.asarray(pk.face_strides(g), jnp.int32)
 
+    ko = dict(kernel_opts or {})
+    if "window" not in ko:
+        ko["window"], ko["pre"] = pk.pick_window(g.nxg)
     acc_t, pout, in_win = pk.fused_push_walk(
-        vox, pstate_t, table_t, params, strides, g.nv, n_walk=n_walk,
-        **(kernel_opts or {}))
+        vox, pstate_t, table_t, params, strides, g.nv, n_walk=n_walk, **ko)
     acc = acc + acc_t[:, :g.nv].T
 
     expt = pout[pk.PEXPT] > 0.5

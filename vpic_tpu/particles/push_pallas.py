@@ -55,7 +55,7 @@ TWO_FIFTEENTHS = 2.0 / 15.0
 PX, PY, PZ, PUX, PUY, PUZ, PRX, PRY, PRZ, PVOX, PTYPE, PDIR, PEXPT = range(13)
 NROWS = 16
 EXC_ROW = 18          # exception-bit row index in the gathered table
-N_TABLE = 19
+N_TABLE = 24          # 19 used rows padded to a sublane multiple
 PRE = 192             # window-start bias: headroom for backward crossings
 
 
@@ -85,7 +85,7 @@ def exception_bits(neighbor, g) -> jax.Array:
 
 
 def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
-            table_ref, acc_ref, pout_ref, *, window, n_walk,
+            win_ref, acc_ref, pout_ref, *, window, n_walk, resident,
             precision=jax.lax.Precision.HIGHEST):
     i = pl.program_id(0)
 
@@ -97,11 +97,20 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
     qdt_2mc = params_ref[0]
     cdt = (params_ref[1], params_ref[2], params_ref[3])
 
+    if resident:
+        # small grids: the whole table stays VMEM-resident and each block
+        # takes a free lane-sliced view
+        win = win_ref[:, pl.ds(pl.multiple_of(start, LANE), window)]
+    else:
+        # large grids: the table lives in HBM; the caller pre-slices each
+        # block's lane-aligned window and Pallas pipelines the
+        # (N_TABLE, window) blocks into VMEM
+        win = win_ref[0]
+
     one = jnp.float32(1.0)
     big = jnp.float32(3.4e38)
     rows = loc_ref.shape[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, LANE), 0)
-    win = table_ref[:, pl.ds(pl.multiple_of(start, LANE), window)]
     exc_win = win[EXC_ROW:EXC_ROW + 1, :].astype(jnp.bfloat16)  # (1, W)
     blk0 = jnp.zeros((12, window), jnp.float32)
 
@@ -321,10 +330,11 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nv", "n_walk", "block", "window",
-                                    "pre", "mxu_precision"))
+                                    "pre", "mxu_precision", "resident"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
-                    pre: int = PRE, mxu_precision: str = "highest"):
+                    pre: int = PRE, mxu_precision: str = "highest",
+                    resident: bool | None = None):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -357,6 +367,14 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     loc = vox - jnp.repeat(starts, block)
     in_window = (loc >= 0) & (loc < window)
     loc = jnp.where(in_window, loc, -1)
+    if resident is None:
+        resident = (16 + N_TABLE) * nv_pad * 4 < 11 * 2 ** 20
+    if resident:
+        win_all = table_t
+    else:
+        win_all = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(table_t, (jnp.int32(0), s),
+                                            (N_TABLE, window)))(starts)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -367,9 +385,13 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((7, block), lambda i, s, p, t: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_TABLE, nv_pad),
-                         lambda i, s, p, t: (np.int32(0), np.int32(0)),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((N_TABLE, nv_pad),
+                          lambda i, s, p, t: (np.int32(0), np.int32(0)),
+                          memory_space=pltpu.VMEM)
+             if resident else
+             pl.BlockSpec((1, N_TABLE, window),
+                          lambda i, s, p, t: (i, np.int32(0), np.int32(0)),
+                          memory_space=pltpu.VMEM)),
         ],
         out_specs=[
             pl.BlockSpec((12, nv_pad),
@@ -384,21 +406,33 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                  "default": jax.lax.Precision.DEFAULT}[mxu_precision]
     acc_t, pout = pl.pallas_call(
         functools.partial(_kernel, window=window, n_walk=n_walk,
-                          precision=precision),
+                          precision=precision, resident=resident),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=15 * 2 ** 20),
         out_shape=[
             jax.ShapeDtypeStruct((12, nv_pad), jnp.float32),
             jax.ShapeDtypeStruct((NROWS, npad), jnp.float32),
         ],
     )(starts, params, strides,
-      loc.reshape(nb * (block // LANE), LANE), pstate_t, table_t)
+      loc.reshape(nb * (block // LANE), LANE), pstate_t, win_all)
 
     return acc_t, pout[:, :n], in_window[:n]
 
 
-def fused_vmem_ok(nv: int, nxg: int = 0, window: int = 512) -> bool:
-    """Whether the resident table+acc fit comfortably in VMEM and the
-    window-bias headroom covers a y-crossing (nxg < PRE)."""
+def pick_window(nxg: int) -> tuple:
+    """(window, pre) sized so one backward OR forward transverse crossing
+    (+-nxg) stays inside a block's deposit window."""
+    window = min(max(512, _round_up(2 * nxg + 128, 128)), 1024)
+    return window, window // 2
+
+
+def fused_vmem_ok(nv: int, nxg: int = 0) -> bool:
+    """Whether the VMEM-resident accumulator fits this grid (the gather
+    table streams from HBM on large grids) and the crossing windows cover
+    transverse crossings."""
+    window, pre = pick_window(nxg)
     nv_pad = _round_up(nv + 1, LANE)
-    bytes_needed = (24 + 16) * nv_pad * 4  # sublane-padded f32 tables
-    return bytes_needed < 11 * 2 ** 20 and nxg <= PRE
+    acc_bytes = 16 * nv_pad * 4            # sublane-padded f32 accumulator
+    win_bytes = 2 * N_TABLE * window * 4   # pipelined table-window blocks
+    return (acc_bytes + win_bytes < 13 * 2 ** 20) and nxg + 64 <= pre
