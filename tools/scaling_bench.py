@@ -1,0 +1,50 @@
+"""Scaling table in the spirit of decks/vpic32.csv: sweep particle counts
+and grid sizes on the 2D reconnection-class deck and print one CSV row per
+configuration (ms/step, pushes/s, speedup vs the reference's 7.8M/s CPU
+headline).
+
+Usage: python tools/scaling_bench.py [steps]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+CONFIGS = [
+    # (npart_total, nx, ny)
+    (1_000_000, 128, 128),
+    (4_000_000, 128, 128),
+    (8_000_000, 128, 128),
+    (8_000_000, 256, 256),
+    (16_000_000, 256, 256),
+]
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from __graft_entry__ import _build
+
+    print("npart,nx,ny,ms_per_step,pushes_per_s,vs_ref_cpu")
+    for npart, nx, ny in CONFIGS:
+        sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2)
+        sim.advance(2)
+        jax.block_until_ready(sim.state)
+        t0 = time.perf_counter()
+        sim.advance(steps)
+        jax.block_until_ready(sim.state)
+        dt = time.perf_counter() - t0
+        total = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
+        pps = total * steps / dt
+        print(f"{total},{nx},{ny},{dt / steps * 1e3:.1f},"
+              f"{pps:.3e},{pps / 7.8e6:.2f}", flush=True)
+        del sim
+
+
+if __name__ == "__main__":
+    main()
