@@ -33,8 +33,11 @@ def main():
     print("npart,nx,ny,ms_per_step,pushes_per_s,vs_ref_cpu")
     for npart, nx, ny in CONFIGS:
         sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2)
-        sim.advance(2)
+        # warm an even number of steps: from an even step_count an even
+        # timed region hits only the jitted resort-cycle executable
+        sim.advance(4)
         jax.block_until_ready(sim.state)
+        steps -= steps % 2
         t0 = time.perf_counter()
         sim.advance(steps)
         jax.block_until_ready(sim.state)
