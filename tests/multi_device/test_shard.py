@@ -202,3 +202,44 @@ def test_3d_eight_shard_migration():
         b = global_field(s8, comp)
         np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5, err_msg=comp)
     assert _alive_count(s1) == _alive_count(s8) == 1024
+
+
+def test_two_shard_absorb_tally():
+    """Per-shard AbsorbTally counters sum to the single-shard count (the
+    reference's per-rank counters, absorb_tally.c)."""
+    if not _needs_mesh("test_two_shard_absorb_tally", 2):
+        return
+    from vpic_tpu.boundary.models import AbsorbTally
+
+    def build_tally(px):
+        nx, ny, nz = 8, 4, 4
+        L = 1.0
+        sim = Simulation(seed=13)
+        sim.define_units(1.0, 1.0)
+        sim.define_timestep(0.9 * sim.courant_length(L, L, L, nx, ny, nz))
+        sim.define_absorbing_grid(0, 0, 0, L, L, L, nx, ny, nz, px, 1, 1)
+        tally = sim.define_boundary(AbsorbTally(n_species=1))
+        for face in range(6):
+            sim.set_domain_particle_bc(face, tally)
+        sim.define_material("vacuum")
+        e = sim.define_species("electron", -1.0, 4096)
+        rng = np.random.default_rng(55)
+        n = 1024
+        sim.inject_particle(e, rng.uniform(0.05, 0.95, n),
+                            rng.uniform(0.05, 0.95, n),
+                            rng.uniform(0.05, 0.95, n),
+                            rng.normal(0.3, 0.3, n), rng.normal(0, 0.2, n),
+                            rng.normal(0, 0.2, n), q=-1.0 / n)
+        sim.finalize()
+        return sim, tally
+
+    s1, t1 = build_tally(px=1)
+    s2, t2 = build_tally(px=2)
+    s1.advance(10)
+    s2.advance(10)
+    c1 = s1.boundary_tallies(t1)
+    c2 = s2.boundary_tallies(t2)
+    n1, n2 = _alive_count(s1), _alive_count(s2)
+    assert c1[0] == 1024 - n1 > 0
+    assert c2[0] == 1024 - n2
+    assert int(c1[0]) == int(c2[0])

@@ -739,6 +739,20 @@ class Simulation:
         return write_global_header(base, self.grid, field_dp,
                                    species_dumps, field_dir, field_base)
 
+    def boundary_tallies(self, handler):
+        """A handler's state with shard axes reduced by summation — the
+        global view of counter-style states (AbsorbTally; the analogue of
+        summing the reference's per-rank absorb_tally counters).  For
+        non-additive states (LinkBoundary ring buffers) read
+        ``state.boundary_state`` per shard instead."""
+        idx = (handler if isinstance(handler, int)
+               else self._boundary_handlers.index(handler))
+        st = self.state.boundary_state[idx]
+        if not self.grid.is_multishard:
+            return jax.tree.map(np.asarray, st)
+        return jax.tree.map(
+            lambda a: np.asarray(a).sum(axis=(0, 1, 2)), st)
+
     def checksum_fields(self):
         """SHA-1 of the full field state (output_checksum_fields,
         misc.cxx:109-139)."""
