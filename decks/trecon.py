@@ -152,6 +152,7 @@ def deck():
         sync_shared_interval=25,
     )
     sim.num_step = _env("TRECON_STEPS", 200)
+    sim._trecon_vth = (vthe, vthi)
     return sim
 
 
@@ -159,6 +160,9 @@ OUT = os.environ.get("TRECON_OUT", "trecon_out")
 ENERGY_INTERVAL = _env("TRECON_ENERGY_INTERVAL", 20)
 FIELD_INTERVAL = _env("TRECON_FIELD_INTERVAL", 0)
 TRACER_INTERVAL = _env("TRECON_TRACER_INTERVAL", 0)
+SPECTRUM_INTERVAL = _env("TRECON_SPECTRUM_INTERVAL", 0)
+NEX = _env("TRECON_NEX", 50)           # energy bands (global->nex)
+EMAX = _env("TRECON_EMAX", 400.0, float)  # in units of vth^2/2
 
 
 def diagnostics(sim):
@@ -172,3 +176,10 @@ def diagnostics(sim):
         sim.dump_hydro("ion", f"{OUT}/hydro/ihydro")
     if TRACER_INTERVAL and s % TRACER_INTERVAL == 0:
         sim.dump_particles("e_tracer", f"{OUT}/tracer/tracer")
+    if SPECTRUM_INTERVAL and s % SPECTRUM_INTERVAL == 0:
+        # energy.cxx band distribution + log-KE spectrum per species
+        vthe, vthi = getattr(sim, "_trecon_vth", (0.1, 0.05))
+        sim.dump_energy_diag("electron", f"{OUT}/hydro", nex=NEX,
+                             emax=EMAX, vth=vthe)
+        sim.dump_energy_diag("ion", f"{OUT}/hydro", nex=NEX, emax=EMAX,
+                             vth=vthi)

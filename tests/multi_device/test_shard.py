@@ -204,6 +204,193 @@ def test_3d_eight_shard_migration():
     assert _alive_count(s1) == _alive_count(s8) == 1024
 
 
+def test_two_shard_drift_bounded():
+    """Characterize 1-shard vs 2-shard divergence over 20 steps: fp32
+    reduction-order drift must stay bounded (roughly linear), not grow
+    multiplicatively (which would indicate a real topology bug rather
+    than roundoff)."""
+    if not _needs_mesh("test_two_shard_drift_bounded", 2):
+        return
+    s1 = build(px=1, seed=31)
+    s2 = build(px=2, seed=31)
+    drift = []
+    for _ in range(20):
+        s1.advance(1)
+        s2.advance(1)
+        d = 0.0
+        for comp in ("ex", "ey", "cbz"):
+            a = global_field(s1, comp)
+            b = global_field(s2, comp)
+            scale = max(np.abs(a).max(), 1e-12)
+            d = max(d, float(np.abs(a - b).max() / scale))
+        drift.append(d)
+    # absolute bound after 20 steps
+    assert drift[-1] < 5e-3, f"drift history: {drift}"
+    # growth is bounded: late drift not explosively larger than mid-run
+    mid = max(max(drift[4:10]), 1e-9)
+    assert drift[-1] < 60 * mid, f"drift history: {drift}"
+
+
+def test_two_shard_hydro_sync_matches_single():
+    """Multishard hydro must merge shared node planes over the mesh
+    before dumps (sf_interface.h:156-163): the 2-shard synchronized
+    hydro must equal the single-shard one everywhere, including the
+    shard-boundary planes."""
+    if not _needs_mesh("test_two_shard_hydro_sync_matches_single", 2):
+        return
+    from vpic_tpu.comm.facecomm import LocalComm
+    from vpic_tpu.engine import distributed as dist
+    from vpic_tpu.particles import aux as paux
+    from vpic_tpu.sf import hydro as sfhydro
+
+    import jax as _jax
+
+    s1 = build(px=1)
+    s2 = build(px=2)
+    s1.advance(3)
+    s2.advance(3)
+
+    g1, g2 = s1.grid, s2.grid
+
+    @_jax.jit
+    def hy_single(st):
+        hy = sfhydro.clear_hydro(g1)
+        hy = paux.accumulate_hydro_p(hy, st.species[0], st.interpolator, g1)
+        return hy
+
+    h1 = sfhydro.synchronize_hydro(hy_single(s1.state), g1, LocalComm(g1))
+    h1 = np.asarray(h1).reshape(g1.nzg, g1.nyg, g1.nxg, -1)
+
+    h2 = np.asarray(dist.make_distributed_hydro(g2, s2.mesh, 0)(s2.state))
+    h2 = h2.reshape(1, 1, 2, g2.nzg, g2.nyg, g2.nxg, -1)
+
+    # every owned node of every shard (x: 1..nx locally, global sx*nx+ix)
+    for sx in range(2):
+        a = h2[0, 0, sx][1:g2.nz + 1, 1:g2.ny + 1, 1:g2.nx + 1]
+        b = h1[1:g1.nz + 1, 1:g1.ny + 1,
+               sx * g2.nx + 1:sx * g2.nx + g2.nx + 1]
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6,
+                                   err_msg=f"shard {sx}")
+    # the shared plane itself (shard 1's low-x owned nodes include it)
+    shared = h2[0, 0, 1][1:g2.nz + 1, 1:g2.ny + 1, 1]
+    assert np.abs(shared[..., 3]).max() > 0   # rho present on the seam
+
+
+def test_multishard_cli_smoke(tmp_path):
+    """python -m vpic_tpu.cli.run on a 2-shard deck: the status line must
+    handle distributed np leaves (run.py)."""
+    if not _needs_mesh("test_multishard_cli_smoke", 2):
+        return
+    deck = tmp_path / "deck2.py"
+    deck.write_text("""
+import numpy as np
+from vpic_tpu.deck.api import Simulation
+
+def deck():
+    nx, ny, nz = 8, 4, 4
+    L = 1.0
+    sim = Simulation(seed=3)
+    sim.define_units(1.0, 1.0)
+    sim.define_timestep(0.9 * sim.courant_length(L, L, L, nx, ny, nz))
+    sim.define_periodic_grid(0, 0, 0, L, L, L, nx, ny, nz, 2, 1, 1)
+    sim.define_material("vacuum")
+    e = sim.define_species("electron", -1.0, 4096)
+    rng = np.random.default_rng(5)
+    n = 256
+    sim.inject_particle(e, rng.uniform(0, L, n), rng.uniform(0, L, n),
+                        rng.uniform(0, L, n), rng.normal(0, 0.3, n),
+                        rng.normal(0, 0.3, n), rng.normal(0, 0.3, n),
+                        q=-1.0 / n)
+    sim.num_step = 2
+    return sim
+""")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "-m", "vpic_tpu.cli.run", str(deck),
+         "--status-interval", "1"],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd="/root/repo")
+    assert r.returncode == 0, f"CLI failed:\n{r.stdout}\n{r.stderr}"
+    assert "pushes/s" in r.stdout
+    assert "done: 2 steps" in r.stdout
+
+
+def test_join_domain_pairwise_loops():
+    """join_domain (vpic.hxx:313-331): wire a 4-shard x axis into TWO
+    independent 2-shard loops; the left loop must evolve exactly like a
+    standalone 2-shard periodic box, and nothing may leak into the right
+    loop."""
+    if not _needs_mesh("test_join_domain_pairwise_loops", 4):
+        return
+    L = 1.0
+    ny, nz = 4, 4
+    rng_init = np.random.default_rng(9911)
+    n = 512
+    x = rng_init.uniform(0, L, n)           # left half of the 4-shard box
+    y, z = rng_init.uniform(0, L, n), rng_init.uniform(0, L, n)
+    ux = rng_init.normal(0.4, 0.3, n)       # drift so particles migrate
+    uy, uz = rng_init.normal(0, 0.3, (2, n))
+
+    def build_A():
+        sim = Simulation(seed=5)
+        sim.define_units(1.0, 1.0)
+        sim.define_timestep(0.9 * sim.courant_length(L, L, L, 8, ny, nz))
+        # global box [0, 2L], 4 x-shards of nx=4 each; x nominally
+        # absorbing but then fully rewired pairwise: (0,1) and (2,3)
+        sim.define_periodic_grid(0, 0, 0, 2 * L, L, L, 16, ny, nz,
+                                 4, 1, 1)
+        from vpic_tpu.core.types import ABSORB_FIELDS
+        sim.set_domain_field_bc(0, ABSORB_FIELDS)
+        sim.set_domain_field_bc(3, ABSORB_FIELDS)
+        sim.set_domain_particle_bc(0, "absorb")
+        sim.set_domain_particle_bc(3, "absorb")
+        sim.join_domain(3, (1, 0, 3, 2))
+        sim.join_domain(0, (1, 0, 3, 2))
+        sim.define_material("vacuum")
+        e = sim.define_species("electron", -1.0, 4096)
+        sim.inject_particle(e, x, y, z, ux, uy, uz, q=-1.0 / n)
+        sim.finalize()
+        return sim
+
+    def build_B():
+        sim = Simulation(seed=5)
+        sim.define_units(1.0, 1.0)
+        sim.define_timestep(0.9 * sim.courant_length(L, L, L, 8, ny, nz))
+        sim.define_periodic_grid(0, 0, 0, L, L, L, 8, ny, nz, 2, 1, 1)
+        sim.define_material("vacuum")
+        e = sim.define_species("electron", -1.0, 4096)
+        sim.inject_particle(e, x, y, z, ux, uy, uz, q=-1.0 / n)
+        sim.finalize()
+        return sim
+
+    sA, sB = build_A(), build_B()
+    n_steps = 6
+    sA.advance(n_steps)
+    sB.advance(n_steps)
+
+    gB = sB.grid
+    for comp in ("ex", "ey", "cbz", "jfx"):
+        a = np.asarray(getattr(sA.state.field, comp))   # (1,1,4,nzg,nyg,nxg)
+        b = global_field(sB, comp)
+        # left loop of A (shards 0,1) == B's two shards
+        left = np.concatenate(
+            [a[0, 0, sx, 1:nz + 1, 1:ny + 1, 1:gB.nx + 1]
+             for sx in (0, 1)], axis=2)
+        np.testing.assert_allclose(left, b, rtol=3e-4, atol=3e-5,
+                                   err_msg=comp)
+        # right loop stays exactly empty (no leakage through the seam)
+        right = np.concatenate(
+            [a[0, 0, sx, 1:nz + 1, 1:ny + 1, 1:gB.nx + 1]
+             for sx in (2, 3)], axis=2)
+        assert np.abs(right).max() == 0.0, comp
+
+    assert _alive_count(sA) == _alive_count(sB) == n
+
+
 def test_two_shard_absorb_tally():
     """Per-shard AbsorbTally counters sum to the single-shard count (the
     reference's per-rank counters, absorb_tally.c)."""

@@ -136,6 +136,36 @@ def _check_fused_matches_unfused(hot, pbc):
                                rtol=1e-4, atol=2e-5)
 
 
+def test_fused_perblock_slabs_match():
+    """The large-grid per-block deposit-slab mode (+ combine epilogue)
+    must reproduce the resident-accumulator results exactly."""
+    if not _needs_cpu("test_fused_perblock_slabs_match"):
+        return
+    for hot in (False, True):
+        g, rng, interp = mk()
+        ga = make_grid_arrays(g)
+        n, max_np = 300, 512
+        sp = mk_species(g, rng, n, max_np, hot)
+        acc0 = jnp.zeros((g.nv, 12), jnp.float32)
+        KO = dict(block=256, window=256, pre=64)
+        with pltpu.force_tpu_interpret_mode():
+            sp_a, acc_a = jax.jit(
+                lambda sp, acc: ppush.advance_p(
+                    sp, interp, acc, ga.neighbor, g, n_walk=4, fused=True,
+                    kernel_opts=dict(KO, perblock=False)))(sp, acc0)
+            sp_b, acc_b = jax.jit(
+                lambda sp, acc: ppush.advance_p(
+                    sp, interp, acc, ga.neighbor, g, n_walk=4, fused=True,
+                    kernel_opts=dict(KO, perblock=True)))(sp, acc0)
+        live = np.asarray(sp.alive)
+        for c in ("dx", "dy", "dz", "ux", "uy", "uz", "i", "pc"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sp_b, c))[live],
+                np.asarray(getattr(sp_a, c))[live], err_msg=c)
+        np.testing.assert_allclose(np.asarray(acc_b), np.asarray(acc_a),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_unsorted_redo_path():
     """Badly unsorted particles exercise the out-of-window redo path."""
     if not _needs_cpu("test_fused_unsorted_redo_path"):

@@ -56,13 +56,11 @@ def main():
         print(f"{tag:34s} {dt*1e3:7.2f} ms  {n/dt/1e6:8.1f} M/s  "
               f"exports={n_exp}  acc_sum={acc_sum:.6f}")
 
-    run("baseline (highest, walk4)")
-    run("precision default", mxu_precision="default")
+    run("baseline (bf16x3, walk4)")
     run("n_walk=2", n_walk=2)
     run("n_walk=1", n_walk=1)
     run("block=2048", block=2048)
     run("window=256 pre=96", window=256, pre=96)
-    run("block=2048 + default", block=2048, mxu_precision="default")
 
 
 if __name__ == "__main__":

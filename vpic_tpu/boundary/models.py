@@ -51,7 +51,8 @@ class BoundaryHandler:
     def init_state(self, n_species: int):
         return jnp.zeros((0,), jnp.int32)
 
-    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate):
+    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate,
+              step=None):
         raise NotImplementedError
 
 
@@ -62,7 +63,8 @@ class MaxwellianReflux(BoundaryHandler):
     ut_para: Tuple[float, ...]
     ut_perp: Tuple[float, ...]
 
-    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate):
+    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate,
+              step=None):
         n = b["q"].shape[0]
         utpa = jnp.float32(self.ut_para[sid])
         utpe = jnp.float32(self.ut_perp[sid])
@@ -112,7 +114,8 @@ class AbsorbTally(BoundaryHandler):
     def init_state(self, n_species: int):
         return jnp.zeros((self.n_species,), jnp.int32)
 
-    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate):
+    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate,
+              step=None):
         f = accumulate_rhob(f, g, b["vox"], b["q"], b["dx"], b["dy"],
                             b["dz"], mask)
         hstate = hstate.at[sid].add(jnp.sum(mask).astype(jnp.int32))
@@ -136,30 +139,35 @@ class LinkBoundary(BoundaryHandler):
             step=jnp.zeros((self.capacity,), jnp.int32),
         )
 
-    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate):
+    def apply(self, key, b, mask, face, f, g: Grid, sid: int, hstate,
+              step=None):
         f = accumulate_rhob(f, g, b["vox"], b["q"], b["dx"], b["dy"],
                             b["dz"], mask)
-        n = mask.shape[0]
         pos = hstate["count"] + jnp.cumsum(mask.astype(jnp.int32)) - 1
         slot = jnp.where(mask, pos % self.capacity, self.capacity)
+        step_v = (jnp.zeros_like(b["vox"]) if step is None
+                  else jnp.broadcast_to(jnp.int32(step), b["vox"].shape))
         hstate = dict(
             count=hstate["count"] + jnp.sum(mask).astype(jnp.int32),
             vox=hstate["vox"].at[slot].set(b["vox"], mode="drop"),
             q=hstate["q"].at[slot].set(b["q"], mode="drop"),
-            step=hstate["step"],
+            step=hstate["step"].at[slot].set(step_v, mode="drop"),
         )
         b = {**b, "pc": jnp.where(mask, 0, b["pc"])}
         return b, f, hstate, mask
 
 
 def drain_link_file(hstate, fname):
-    """Write the recorded absorptions as ASCII (one line per particle)."""
-    import numpy as np
-
+    """Write the recorded absorptions as ASCII, oldest first (one line per
+    particle: step voxel q — link.c appends per hit, so a wrapped ring
+    must drain in arrival order, not slot order)."""
     count = int(hstate["count"])
     cap = hstate["vox"].shape[0]
     n = min(count, cap)
+    start = count - n          # absolute index of the oldest retained hit
     with open(fname, "a") as fh:
         for k in range(n):
-            fh.write(f"{int(hstate['vox'][k])} {float(hstate['q'][k]):e}\n")
+            s = (start + k) % cap
+            fh.write(f"{int(hstate['step'][s])} {int(hstate['vox'][s])} "
+                     f"{float(hstate['q'][s]):e}\n")
     return count

@@ -78,12 +78,16 @@ def main(argv=None):
             diagnostics(sim)
         if (args.status_interval > 0
                 and sim.step_count % args.status_interval == 0):
+            import numpy as _np
             el = time.time() - t0
-            total = sum(int(np_) for np_ in
-                        (s.np for s in sim.state.species)) or 1
+            # multishard states carry (pz,py,px) shard axes on np
+            total = sum(int(_np.asarray(s.np).sum())
+                        for s in sim.state.species) or 1
             rate = total * steps_done / el
             print(f"[vpic_tpu] step {sim.step_count}/{sim.num_step} "
                   f"({el:.1f}s, {rate:.3e} pushes/s)", flush=True)
+            sim.warn_dropped_movers(log=lambda m: print(
+                f"[vpic_tpu] {m}", flush=True))
         if (args.checkpoint_interval > 0
                 and sim.step_count % args.checkpoint_interval == 0):
             sim.checkpoint(

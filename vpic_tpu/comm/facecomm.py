@@ -72,7 +72,10 @@ class ShardComm:
 
     def is_global_boundary(self, face: int):
         """Traced bool: this shard's face is on the global domain boundary
-        of a non-periodic axis (=> local BC applies instead of the recv)."""
+        of a non-periodic axis (=> local BC applies instead of the recv).
+        Faces wired by join_domain are fully interior everywhere."""
+        if self.g.join[face] is not None:
+            return False
         ax = FACE_AXIS[face]
         n = self._shards(ax)
         if self.g.fbc[face] == PERIODIC_FIELDS:
@@ -95,10 +98,16 @@ class ShardComm:
             if n == 1 or name is None:
                 recv[f] = payloads[OPP[f]]
                 continue
+            join = self.g.join[f]
+            if join is not None:
+                # join_domain wiring (vpic.hxx:313-331): shard s receives
+                # from join[s] (its neighbor through face f), which sends
+                # its face-OPP[f] payload
+                perm = [(join[s], s) for s in range(n)]
             # recv[f] must come from our neighbor at face f, who sends its
             # payloads[OPP[f]].  Data therefore flows opposite to the face
             # direction: for a high face, shard s receives from s+1.
-            if FACE_DIR[f] > 0:
+            elif FACE_DIR[f] > 0:
                 perm = [(s, (s - 1) % n) for s in range(n)]
             else:
                 perm = [(s, (s + 1) % n) for s in range(n)]

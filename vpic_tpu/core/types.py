@@ -112,6 +112,14 @@ class Grid:
     # Particle boundary condition per global face: one of NEIGHBOR_REFLECT,
     # NEIGHBOR_ABSORB, PERIODIC_FIELDS (wrap), or a custom handler code.
     pbc: tuple = (PERIODIC_FIELDS,) * 6
+    # Custom interdomain wiring (the join_domain analogue,
+    # vpic.hxx:313-331 / grid/ops.c): join[face] is None (default Cartesian
+    # ring) or a tuple where join[face][s] = axis index of the shard
+    # adjacent through ``face`` for the shard at axis position s.  Both
+    # directions must be wired consistently (join[f][s] = t <=>
+    # join[OPP[f]][t] = s).  Joined faces are fully interior: migration +
+    # field halos ride the custom permutation and local BCs never apply.
+    join: tuple = (None,) * 6
 
     # -- derived geometry (global cells = local cells * shards per axis) -----
     @property

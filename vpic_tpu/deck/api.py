@@ -210,24 +210,73 @@ class Simulation:
         pbc[face] = _PBC_MAP.get(bc, bc)
         self.grid = dataclasses.replace(self.grid, pbc=tuple(pbc))
 
+    def join_domain(self, face: int, neighbors):
+        """Custom interdomain wiring for a sharded axis — the join_domain
+        analogue (vpic.hxx:313-331, grid/ops.c join_grid): ``neighbors[s]``
+        is the axis index of the shard adjacent through ``face`` of the
+        shard at axis position s.  Joined faces become fully interior
+        (migration + field halos ride the custom ppermute).  Wire BOTH
+        opposite faces consistently; this validates the pairing."""
+        from ..comm.facecomm import OPP
+        from ..core.types import FACE_AXIS
+
+        ax = FACE_AXIS[face]
+        n = (self.grid.gpx, self.grid.gpy, self.grid.gpz)[ax]
+        assert n > 1, "join_domain requires the axis to be sharded"
+        neighbors = tuple(int(v) for v in neighbors)
+        assert len(neighbors) == n and sorted(neighbors) == list(range(n)), \
+            f"neighbors must be a permutation of 0..{n-1}"
+        join = list(self.grid.join)
+        join[face] = neighbors
+        opp = join[OPP[face]]
+        if opp is not None:
+            # consistency: join[f][s] = t <=> join[OPP[f]][t] = s
+            assert all(opp[t] == s for s, t in enumerate(neighbors)), \
+                "inconsistent opposite-face wiring"
+        self.grid = dataclasses.replace(self.grid, join=tuple(join))
+        return self.grid
+
     def define_boundary(self, handler):
         """Register a custom particle boundary handler (add_boundary,
         src/grid/add_boundary.c:9-32); use with set_domain_particle_bc."""
         self._boundary_handlers.append(handler)
         return handler
 
-    def define_surface_emitter(self, model, face=None, components=None):
+    def define_surface_emitter(self, model, face=None, components=None,
+                               region=None):
         """Register a surface emitter (define_surface_emitter,
-        deck_wrapper.cxx:346-463): either all cells on a domain ``face`` or
-        an explicit (vox, face) component list."""
-        from ..emit.models import domain_face_components
+        deck_wrapper.cxx:390-463): all cells on a domain ``face``, an
+        explicit (vox, face) component list, or — like the reference's
+        rgn form — every exterior-cell face touching ``region(x,y,z)``
+        (emission is into the exterior)."""
+        from ..emit.models import (domain_face_components,
+                                   region_surface_components)
 
         if components is None:
-            assert face is not None
-            vox = domain_face_components(self.grid, face)
-            components = (tuple(vox.tolist()),
-                          tuple([face] * len(vox)))
+            if region is not None:
+                vox, faces = region_surface_components(self.grid, region)
+                components = (tuple(vox.tolist()), tuple(faces.tolist()))
+            else:
+                assert face is not None
+                vox = domain_face_components(self.grid, face)
+                components = (tuple(vox.tolist()),
+                              tuple([face] * len(vox)))
         model = dataclasses.replace(model, components=components)
+        model.bind(self.grid)
+        self._emitters.append(model)
+        return model
+
+    def define_volume_emitter(self, model, region):
+        """Register a volume emitter (define_volume_emitter,
+        deck_wrapper.cxx:346-383): every cell inside ``region(x,y,z)``
+        becomes a face-less component (face = -1).  The stock face-law
+        models skip face-less components exactly like the reference's
+        non-face switch branch; custom models may emit from them."""
+        from ..emit.models import region_volume_components
+
+        vox, faces = region_volume_components(self.grid, region)
+        model = dataclasses.replace(
+            model, components=(tuple(vox.tolist()), tuple(faces.tolist())))
         model.bind(self.grid)
         self._emitters.append(model)
         return model
@@ -464,34 +513,13 @@ class Simulation:
             state = dist.stack_shards(shards, g)
             state = dist.shard_state(state, self.mesh)
             state = dist.make_distributed_init(g, self.mesh)(state)
-            self._advance_fn = dist.make_distributed_advance(
-                g, self.mesh, opts=self.opts,
-                boundary_handlers=tuple(self._boundary_handlers),
-                emitters=tuple(self._emitters), **hooks)
-            self._advance_fn_nosort = (
-                dist.make_distributed_advance(
-                    g, self.mesh, opts=self.opts,
-                    boundary_handlers=tuple(self._boundary_handlers),
-                    emitters=tuple(self._emitters), do_sort=False, **hooks)
-                if self.opts.resort_interval > 1 else None)
             self.comm = ShardComm(g, dist._axis_names_for(g))
         else:
             state = self._build_shard_state((0, 0, 0), mat)
             self.comm = LocalComm(g)
             state = jax.jit(
                 lambda s: initialize_state(s, g, self.comm))(state)
-            self._advance_fn = jax.jit(make_advance(
-                g, self.comm, pcomm=None, opts=self.opts,
-                boundary_handlers=tuple(self._boundary_handlers),
-                emitters=tuple(self._emitters), **hooks),
-                donate_argnums=0)
-            self._advance_fn_nosort = (jax.jit(make_advance(
-                g, self.comm, pcomm=None, opts=self.opts,
-                boundary_handlers=tuple(self._boundary_handlers),
-                emitters=tuple(self._emitters), do_sort=False, **hooks),
-                donate_argnums=0)
-                if self.opts.resort_interval > 1 else None)
-        self._build_cycle(g, hooks)
+        self._rebuild_advance()
         self.state = state
         return state
 
@@ -625,10 +653,22 @@ class Simulation:
             iodump.dump_grid(st, g, fbase, shard, rank, nproc)
 
     def dump_hydro(self, sp_name, fbase, ftag=True):
-        """clear+accumulate+synchronize hydro then write (dump.cxx:224-265)."""
+        """clear+accumulate+synchronize hydro then write (dump.cxx:224-265).
+        Multishard: shared faces merge over the mesh before writing
+        (sf_interface.h:156-163)."""
         g = self.grid
         nproc = g.gpx * g.gpy * g.gpz
         h = self._species_by_name(sp_name)
+
+        if g.is_multishard:
+            hy_all = np.asarray(dist.make_distributed_hydro(
+                g, self.mesh, h["sid"])(self.state))
+            for shard, rank, st in self._shard_states():
+                sx, sy, sz = shard
+                iodump.dump_hydro(hy_all[sz, sy, sx], g, fbase,
+                                  self.step_count, h["sid"], h["q_m"],
+                                  shard, rank, nproc, ftag)
+            return
 
         @jax.jit
         def compute(st):
@@ -640,8 +680,7 @@ class Simulation:
         from ..comm.facecomm import LocalComm
         for shard, rank, st in self._shard_states():
             hy = compute(st)
-            hy = sfhydro.synchronize_hydro(hy, g, LocalComm(g)) \
-                if not g.is_multishard else hy
+            hy = sfhydro.synchronize_hydro(hy, g, LocalComm(g))
             iodump.dump_hydro(np.asarray(hy), g, fbase, self.step_count,
                               h["sid"], h["q_m"], shard, rank, nproc, ftag)
 
@@ -697,8 +736,13 @@ class Simulation:
             recs = []
             for shard, rank, st in self._shard_states():
                 sp = st.species[h["sid"]]
+                # store GLOBAL ghosted voxels so multishard trajectories
+                # decode with one origin (exact in the f32 record slot
+                # below 2^24 global voxels)
+                gi = (iotracers.globalize_voxels(g, np.asarray(sp.i), shard)
+                      if g.is_multishard else sp.i)
                 arrays = dict(tag=sp.tag, alive=sp.alive,
-                              dx=sp.dx, dy=sp.dy, dz=sp.dz, i=sp.i,
+                              dx=sp.dx, dy=sp.dy, dz=sp.dz, i=gi,
                               ux=sp.ux, uy=sp.uy, uz=sp.uz)
                 rec = iotracers.collect_records(arrays, self.step_count,
                                                 g.dt)
@@ -753,6 +797,51 @@ class Simulation:
         return jax.tree.map(
             lambda a: np.asarray(a).sum(axis=(0, 1, 2)), st)
 
+    def dump_energy_diag(self, sp_name, dirname, nex: int, emax: float,
+                         vth: float, nbin: int = 800):
+        """In-deck KE diagnostics (energy.cxx:1-201): per-cell energy-band
+        distribution + global log-KE spectrum, one file pair per rank."""
+        from ..diag import energy_dist as ed
+
+        g = self.grid
+        h = self._species_by_name(sp_name)
+        out = []
+        for shard, rank, st in self._shard_states():
+            sp = st.species[h["sid"]]
+            dist = ed.energy_band_dist(
+                g, sp.ux, sp.uy, sp.uz, sp.i, sp.alive, nex, emax, vth)
+            edist = ed.energy_spectrum(sp.ux, sp.uy, sp.uz, sp.alive, vth,
+                                       nbin=nbin)
+            out.append(ed.dump_energy_diag(dirname, self.step_count,
+                                           h["name"], rank, dist, edist))
+        return out
+
+    def mover_counts(self):
+        """Per-species unresolved-mover counts after the last step, summed
+        over shards — particles whose remaining displacement was dropped
+        (the reference's "Ignoring %i unprocessed movers" condition,
+        advance.cxx:98-103)."""
+        return {h["name"]:
+                int(np.asarray(self.state.species[h["sid"]].nm).sum())
+                for h in self._species}
+
+    def warn_dropped_movers(self, log=None):
+        """WARN (advance.cxx:98-103 semantics) when any species dropped
+        unprocessed movers on the last step.  Returns the counts."""
+        import warnings
+        counts = self.mover_counts()
+        for name, nm in counts.items():
+            if nm:
+                msg = (f"ignoring {nm} unprocessed movers for species "
+                       f"{name!r} at step {self.step_count} (mover/"
+                       f"fix-up buffer saturated; raise fix_cap/max_inj "
+                       f"or shorten resort_interval)")
+                if log is not None:
+                    log(f"WARNING: {msg}")
+                else:
+                    warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return counts
+
     def checksum_fields(self):
         """SHA-1 of the full field state (output_checksum_fields,
         misc.cxx:109-139)."""
@@ -783,15 +872,27 @@ class Simulation:
         meta = dict(step_count=self.step_count,
                     opts=dataclasses.asdict(self.opts))
         meta.update(extra or {})
-        return ckpt.save_checkpoint(path, self.state, self.grid, meta)
+        out = ckpt.save_checkpoint(path, self.state, self.grid, meta)
+        if self._traj is not None:
+            # tracer trajectories survive a quota kill
+            # (dump_tracer_restart, tracer.cxx:199-253)
+            self._traj.save_npz(str(path) + ".traj.npz")
+        return out
 
     def restore(self, path):
         """Load a checkpoint saved by :meth:`checkpoint` into this
         (identically configured) simulation."""
+        import os
+
+        from ..io import tracers as iotracers
+
         meta = ckpt.load_meta(path)
         self.state = ckpt.load_checkpoint(path, self.state)
         self.step_count = meta["extra"].get("step_count",
                                             int(self.state.step))
+        tr = str(path) + ".traj.npz"
+        if os.path.exists(tr):
+            self._traj = iotracers.TrajectoryAccumulator.load_npz(tr)
         return self.state
 
     def modify_runparams(self, **kw):
@@ -803,20 +904,34 @@ class Simulation:
             self.num_step = kw["num_step"]
         if opt_kw:
             self.opts = dataclasses.replace(self.opts, **opt_kw)
-            g = self.grid
-            if g.is_multishard:
-                self._advance_fn = dist.make_distributed_advance(
-                    g, self.mesh, opts=self.opts, **self._hooks)
-                self._advance_fn_nosort = (
-                    dist.make_distributed_advance(
-                        g, self.mesh, opts=self.opts, do_sort=False,
-                        **self._hooks)
-                    if self.opts.resort_interval > 1 else None)
-            else:
-                self._advance_fn = jax.jit(make_advance(
-                    g, self.comm, pcomm=None, opts=self.opts,
-                    **self._hooks))
-                self._advance_fn_nosort = (jax.jit(make_advance(
-                    g, self.comm, pcomm=None, opts=self.opts,
-                    do_sort=False, **self._hooks))
-                    if self.opts.resort_interval > 1 else None)
+            self._rebuild_advance()
+
+    def _rebuild_advance(self):
+        """(Re)build the advance executables from the current opts —
+        shared by finalize and modify_runparams so a --modfile rebuild
+        keeps boundary handlers, emitters, and the resort cycle."""
+        g = self.grid
+        handlers = tuple(self._boundary_handlers)
+        emitters = tuple(self._emitters)
+        if g.is_multishard:
+            self._advance_fn = dist.make_distributed_advance(
+                g, self.mesh, opts=self.opts,
+                boundary_handlers=handlers, emitters=emitters,
+                **self._hooks)
+            self._advance_fn_nosort = (
+                dist.make_distributed_advance(
+                    g, self.mesh, opts=self.opts,
+                    boundary_handlers=handlers, emitters=emitters,
+                    do_sort=False, **self._hooks)
+                if self.opts.resort_interval > 1 else None)
+        else:
+            self._advance_fn = jax.jit(make_advance(
+                g, self.comm, pcomm=None, opts=self.opts,
+                boundary_handlers=handlers, emitters=emitters,
+                **self._hooks), donate_argnums=0)
+            self._advance_fn_nosort = (jax.jit(make_advance(
+                g, self.comm, pcomm=None, opts=self.opts,
+                boundary_handlers=handlers, emitters=emitters,
+                do_sort=False, **self._hooks), donate_argnums=0)
+                if self.opts.resort_interval > 1 else None)
+        self._build_cycle(g, self._hooks)

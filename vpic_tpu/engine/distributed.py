@@ -84,6 +84,30 @@ def make_distributed_advance(g: Grid, mesh: Mesh,
     return jax.jit(fn)
 
 
+def make_distributed_hydro(g: Grid, mesh: Mesh, sid: int):
+    """Per-shard hydro moments with shared-face synchronization over the
+    mesh (the reference always merges shared faces before a hydro dump,
+    sf_interface.h:156-163).  Returns (pz,py,px,nv,14)."""
+    from ..particles import aux as paux
+    from ..sf import hydro as sfhydro
+
+    names = _axis_names_for(g)
+    comm = ShardComm(g, axis_names=names)
+
+    def per_shard(state):
+        state = jax.tree.map(lambda a: a.reshape(a.shape[3:]), state)
+        hy = sfhydro.clear_hydro(g)
+        hy = paux.accumulate_hydro_p(hy, state.species[sid],
+                                     state.interpolator, g)
+        hy = sfhydro.synchronize_hydro(hy, g, comm)
+        return hy.reshape((1, 1, 1) + hy.shape)
+
+    spec = P(*AXIS_NAMES)
+    fn = jax.shard_map(per_shard, mesh=mesh,
+                       in_specs=spec, out_specs=spec, check_vma=False)
+    return jax.jit(fn)
+
+
 def make_distributed_init(g: Grid, mesh: Mesh):
     from .init import initialize_state
 

@@ -40,6 +40,10 @@ class StepOptions:
     sync_shared_interval: int = 0
     n_walk: int = 4
     max_inj: int = 16384  # pending/injector buffer capacity
+    # Per-face migration payload cap (lanes ppermuted per face per round);
+    # None = max_inj.  Overflow is retried on later rounds, mirroring the
+    # reference's bounded two-phase exchange (boundary_p.c:341-385).
+    mig_cap: int | None = None
     # Re-sort particles by voxel every k steps (the reference's per-species
     # sort_interval, sort_p.c; the fused kernel tolerates the drift between
     # sorts via its windowed out-of-window fix-up path).  The deck API
@@ -172,7 +176,13 @@ def make_advance(
         species = []
         for sp in state.species:
             if sorted_deposit:
-                if do_sort:
+                # Only the FUSED kernel tolerates inter-sort drift (its
+                # window pre-bias + out-of-window fix-up); the sorted-but-
+                # unfused deposit kernel has no pre-bias, so skipping the
+                # sort there would silently drop drifted particles'
+                # current (deposit_sorted_into caps overflow).  Sort every
+                # step unless the fused path is active.
+                if do_sort or not fused_push:
                     sp = paux.sort_p(sp)
             elif sp.sort_interval > 0:
                 hit = (state.step % sp.sort_interval) == 0
@@ -226,7 +236,8 @@ def make_advance(
                     key, k2 = jax.random.split(key)
                     sp, f, acc, bstate = pboundary.process_boundary(
                         sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk,
-                        handlers=boundary_handlers, bstate=bstate, key=k2)
+                        handlers=boundary_handlers, bstate=bstate, key=k2,
+                        step=state.step, mig_cap=opts.mig_cap)
                     species.append(sp)
                 state = dataclasses.replace(state, species=tuple(species))
             state = dataclasses.replace(state, boundary_state=bstate)

@@ -82,11 +82,14 @@ def build_neighbor_table(g: Grid, shard=(0, 0, 0)) -> np.ndarray:
         if shards[ax] > 1:
             # Any multi-shard axis: crossing the shard face is a migration;
             # the *global* boundary handling happens on the owning shard's
-            # table (built with its own shard coordinate).
+            # table (built with its own shard coordinate).  A custom join
+            # (join_domain) makes the face fully interior everywhere.
             sc = shard[ax]
             at_global_low = dr < 0 and sc == 0
             at_global_high = dr > 0 and sc == shards[ax] - 1
-            if (at_global_low or at_global_high) and gpbc != PERIODIC_FIELDS:
+            if (g.join[face] is None
+                    and (at_global_low or at_global_high)
+                    and gpbc != PERIODIC_FIELDS):
                 edge_val = np.int32(_pbc_code(gpbc))
             else:
                 edge_val = np.int32(NEIGHBOR_MIGRATE_BASE - face)

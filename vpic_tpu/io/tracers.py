@@ -51,25 +51,55 @@ def collect_records(sp_arrays: dict, step: int, dt: float) -> np.ndarray:
 
 
 class TrajectoryAccumulator:
-    """Accumulates tracer records across steps, per species."""
+    """Accumulates tracer records across steps, per species.  Tracks a
+    per-species flushed watermark so repeated per-tag-file dumps (append
+    mode, tracer.cxx:281-293) never duplicate records, and serializes to
+    npz so a quota-killed run can restore its accumulated trajectories
+    (dump_tracer_restart/read_tracer_restart, tracer.cxx:199-253)."""
 
     def __init__(self):
         self._chunks: dict = {}
+        self._flushed: dict = {}
 
     def add(self, species_name: str, rec: np.ndarray):
         self._chunks.setdefault(species_name, []).append(rec)
 
-    def records(self, species_name: str) -> np.ndarray:
+    def records(self, species_name: str, since: int = 0) -> np.ndarray:
         chunks = self._chunks.get(species_name, [])
         if not chunks:
             return np.zeros((0, REC_FLOATS), np.float32)
-        return np.concatenate(chunks, axis=0)
+        rec = np.concatenate(chunks, axis=0)
+        return rec[since:] if since else rec
 
     def species(self):
         return list(self._chunks)
 
     def clear(self):
         self._chunks.clear()
+        self._flushed.clear()
+
+    # -- checkpoint persistence (tracer.cxx:199-253 semantics) ----------
+    def save_npz(self, path):
+        arrays = {f"rec/{name}": self.records(name)
+                  for name in self.species()}
+        arrays["flushed_names"] = np.asarray(list(self._flushed),
+                                             dtype=object)
+        arrays["flushed_counts"] = np.asarray(
+            [self._flushed[k] for k in self._flushed], np.int64)
+        np.savez(path, **arrays)
+        return path
+
+    @classmethod
+    def load_npz(cls, path):
+        data = np.load(path, allow_pickle=True)
+        acc = cls()
+        for k in data.files:
+            if k.startswith("rec/"):
+                acc._chunks[k[4:]] = [data[k]]
+        names = data["flushed_names"]
+        counts = data["flushed_counts"]
+        acc._flushed = {str(n): int(c) for n, c in zip(names, counts)}
+        return acc
 
 
 def _tags_of(rec: np.ndarray) -> np.ndarray:
@@ -84,9 +114,13 @@ def write_traj(acc: TrajectoryAccumulator, dirname,
     d.mkdir(parents=True, exist_ok=True)
     out = []
     for name in acc.species():
-        rec = acc.records(name)
-        tags = _tags_of(rec)
         if per_tag_files:
+            # append only records past the flushed watermark so repeated
+            # dumps don't duplicate rows in the per-tag append files
+            start = acc._flushed.get(name, 0)
+            rec = acc.records(name, since=start)
+            acc._flushed[name] = start + rec.shape[0]
+            tags = _tags_of(rec)
             for tag in np.unique(tags):
                 path = d / f"{name}.{int(tag) & (2**64 - 1):016x}"
                 sel = rec[tags == tag]
@@ -95,6 +129,8 @@ def write_traj(acc: TrajectoryAccumulator, dirname,
                     f.write(np.ascontiguousarray(sel, "<f4").tobytes())
                 out.append(path)
         else:
+            rec = acc.records(name)
+            tags = _tags_of(rec)
             order = np.lexsort((rec[:, 0], tags))
             path = d / f"{name}.traj"
             with open(path, "wb") as f:
@@ -131,13 +167,31 @@ def read_traj_dir(dirname, species_name: str) -> dict:
     return out
 
 
-def global_positions(g, rows: np.ndarray, origin=(None, None, None)):
-    """Reconstruct global coordinates from (dx,dy,dz,i) trajectory rows —
-    the tracer_x/tracer_y/tracer_z macros (tracer.cxx:110-112)."""
-    i = rows[:, 4].astype(np.int64)
+def globalize_voxels(g, i, shard):
+    """Convert shard-local ghosted voxel indices to indices on the GLOBAL
+    ghosted grid (gnx+2, gny+2, gnz+2) so multishard trajectory records
+    decode with one origin (``global_positions``)."""
+    i = np.asarray(i, np.int64)
+    sx, sy, sz = shard
     ix = i % g.nxg
     iy = (i // g.nxg) % g.nyg
     iz = i // (g.nxg * g.nyg)
+    gx = sx * g.nx + ix
+    gy = sy * g.ny + iy
+    gz = sz * g.nz + iz
+    return gx + (g.gnx + 2) * (gy + (g.gny + 2) * gz)
+
+
+def global_positions(g, rows: np.ndarray, origin=(None, None, None)):
+    """Reconstruct global coordinates from (dx,dy,dz,i) trajectory rows —
+    the tracer_x/tracer_y/tracer_z macros (tracer.cxx:110-112).  Voxels
+    are on the global ghosted grid (``globalize_voxels``; identical to the
+    local grid for single-shard runs)."""
+    i = rows[:, 4].astype(np.int64)
+    nxg, nyg = g.gnx + 2, g.gny + 2
+    ix = i % nxg
+    iy = (i // nxg) % nyg
+    iz = i // (nxg * nyg)
     x0 = g.gx0 if origin[0] is None else origin[0]
     y0 = g.gy0 if origin[1] is None else origin[1]
     z0 = g.gz0 if origin[2] is None else origin[2]

@@ -50,7 +50,8 @@ def _remap_voxel_through_face(g: Grid, vox, face: int):
 
 def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
                      g: Grid, pcomm, max_inj: int, n_walk: int = 4,
-                     handlers=(), bstate=(), key=None):
+                     handlers=(), bstate=(), key=None, step=None,
+                     mig_cap: int | None = None):
     """One boundary round for one species.
     Returns (sp, f, acc, bstate)."""
     max_np = sp.max_np
@@ -89,40 +90,53 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
         for hi, handler in enumerate(handlers):
             hmask = b_live & (b["pc"] <= -9) & (hid == hi)
             b, f, bstate[hi], killed = handler.apply(
-                keys[hi], b, hmask, hface, f, g, sp.sid, bstate[hi])
+                keys[hi], b, hmask, hface, f, g, sp.sid, bstate[hi],
+                step=step)
             b_live = b_live & ~killed
         bstate = tuple(bstate)
 
-    # ---- 2. migration: per-face injector payloads over the mesh ----
+    # ---- 2. migration: ONE packed (13, cap) payload per face ----
+    # The reference's two-phase count-then-payload exchange
+    # (boundary_p.c:341-385) exists to bound message sizes; with XLA's
+    # static shapes the analogue is one fused payload per face (13 rows:
+    # dx,dy,dz,ux,uy,uz,q,mdx,mdy,mdz,tag,vox,unused) at a configurable
+    # cap, with overflow RETAINED (pc kept) and retried next round
+    # instead of silently dropped.  Lane validity rides in the vox row
+    # (vox < 0 = empty), so no separate count is exchanged.
     recv = None
     if pcomm is not None:
+        kcap = max_inj if mig_cap is None else min(mig_cap, max_inj)
+        bc_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         payloads = {}
+        sent_any = jnp.zeros_like(b_live)
         for face in range(6):
             code = NEIGHBOR_MIGRATE_BASE - face
             mask = (b["pc"] == code) & b_live
-            fsel, fn_, fvalid = _compact_indices(mask, max_inj, max_inj)
+            fsel, fn_, fvalid = _compact_indices(mask, kcap, max_inj)
             fsafe = jnp.where(fvalid, fsel, 0)
             axis = face % 3
             pos = [b["dx"][fsafe], b["dy"][fsafe], b["dz"][fsafe]]
             pos[axis] = -pos[axis]    # leave at +1 -> enter at -1
-            payloads[face] = dict(
-                dx=jnp.where(fvalid, pos[0], 0.0),
-                dy=jnp.where(fvalid, pos[1], 0.0),
-                dz=jnp.where(fvalid, pos[2], 0.0),
-                ux=b["ux"][fsafe], uy=b["uy"][fsafe], uz=b["uz"][fsafe],
-                q=jnp.where(fvalid, b["q"][fsafe], 0.0),
-                mdx=b["mdx"][fsafe], mdy=b["mdy"][fsafe],
-                mdz=b["mdz"][fsafe], tag=b["tag"][fsafe],
-                vox=jnp.where(
-                    fvalid,
-                    _remap_voxel_through_face(g, b["vox"][fsafe], face),
-                    0),
-                n=fn_,
-            )
+            vox_new = jnp.where(
+                fvalid,
+                _remap_voxel_through_face(g, b["vox"][fsafe], face),
+                -1)
+            payloads[face] = jnp.stack([
+                jnp.where(fvalid, pos[0], 0.0),
+                jnp.where(fvalid, pos[1], 0.0),
+                jnp.where(fvalid, pos[2], 0.0),
+                b["ux"][fsafe], b["uy"][fsafe], b["uz"][fsafe],
+                jnp.where(fvalid, b["q"][fsafe], 0.0),
+                b["mdx"][fsafe], b["mdy"][fsafe], b["mdz"][fsafe],
+                bc_f32(b["tag"][fsafe]),
+                bc_f32(vox_new),
+            ], axis=0)                                    # (12, kcap)
+            # only lanes that actually made it into the payload leave
+            # this shard; overflow keeps pc and is retried next round
+            pos_c2 = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            sent_any = sent_any | (mask & (pos_c2 < kcap))
         recv = pcomm.exchange(payloads)
-        migrated = ((b["pc"] <= NEIGHBOR_MIGRATE_BASE)
-                    & (b["pc"] > NEIGHBOR_MIGRATE_BASE - 6))
-        b_live = b_live & ~migrated
+        b_live = b_live & ~sent_any
 
     # ---- 3. walk the still-live pending buffer ----
     walkable = b_live & (b["pc"] == PC_EXHAUSTED)
@@ -179,14 +193,21 @@ def process_boundary(sp: SpeciesState, f: FieldState, acc, neighbor,
 
     # ---- 5. inject received migrants into free slots ----
     if recv is not None:
+        bc_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
         for face in range(6):
-            r = recv.get(face)
-            if r is None:
+            rp = recv.get(face)
+            if rp is None:
                 continue
-            k = r["q"].shape[0]
-            n_inj = r["n"]
+            k = rp.shape[1]
+            r = dict(
+                dx=rp[0], dy=rp[1], dz=rp[2],
+                ux=rp[3], uy=rp[4], uz=rp[5], q=rp[6],
+                mdx=rp[7], mdy=rp[8], mdz=rp[9],
+                tag=bc_i32(rp[10]), vox=bc_i32(rp[11]),
+            )
+            filled = r["vox"] >= 0            # validity rides in vox
             slot = sp.np + jnp.arange(k, dtype=jnp.int32)
-            ok = (jnp.arange(k, dtype=jnp.int32) < n_inj) & (slot < max_np)
+            ok = filled & (slot < max_np)
             tgt2 = jnp.where(ok, slot, max_np)
 
             def put2(arr, vals):

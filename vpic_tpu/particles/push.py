@@ -504,7 +504,9 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     max_np = sp.max_np
     if fix_cap is None:
         fix_cap = max(8192, max_np // 64)
-    K = min(fix_cap, max_np)
+    # compact_indices_hier emits at most row_cap*128 = 262144 lanes; a
+    # larger K would mismatch its output length at trace time
+    K = min(fix_cap, max_np, 2048 * 128)
 
     qdt_2mc = (0.5 * sp.q_m * g.dt / g.cvac).astype(jnp.float32)
     cdt = (jnp.float32(g.cvac * g.dt * g.rdx),
@@ -536,7 +538,11 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     uxo = jnp.where(alive, pout[pk.PUX], sp.ux)
     uyo = jnp.where(alive, pout[pk.PUY], sp.uy)
     uzo = jnp.where(alive, pout[pk.PUZ], sp.uz)
-    vox_o = jnp.where(alive, (pout[pk.PVOX] + 0.5).astype(jnp.int32), sp.i)
+    # out-of-window lanes were never pushed (kernel passthrough leaves
+    # PVOX = start - 1, a garbage voxel); they keep their original voxel
+    # so that lanes dropped from an overflowing fix-up buffer stay valid
+    vox_o = jnp.where(alive & in_win,
+                      (pout[pk.PVOX] + 0.5).astype(jnp.int32), sp.i)
 
     # ---- compacted fix-up buffer ----
     sel, n_fix, valid = compact_indices_hier(fix, K, max_np)

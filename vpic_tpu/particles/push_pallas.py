@@ -86,12 +86,13 @@ def exception_bits(neighbor, g) -> jax.Array:
 
 def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
             win_ref, acc_ref, pout_ref, *, window, n_walk, resident,
-            precision=jax.lax.Precision.HIGHEST):
+            perblock):
     i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    if not perblock:
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
     start = starts_ref[i]
     qdt_2mc = params_ref[0]
@@ -324,17 +325,23 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
     blk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(rows),
                             row_body, blk0)
 
-    idx = pl.multiple_of(start, LANE)
-    acc_ref[:, pl.ds(idx, window)] += blk
+    if perblock:
+        # large grids: each block owns a private (12, window) output slab
+        # (no VMEM-resident accumulator => no grid-size ceiling); the
+        # caller's prefix-scan epilogue merges slabs by window start
+        acc_ref[0] = blk
+    else:
+        idx = pl.multiple_of(start, LANE)
+        acc_ref[:, pl.ds(idx, window)] += blk
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nv", "n_walk", "block", "window",
-                                    "pre", "mxu_precision", "resident"))
+                                    "pre", "resident", "perblock"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
-                    pre: int = PRE, mxu_precision: str = "highest",
-                    resident: bool | None = None):
+                    pre: int = PRE, resident: bool | None = None,
+                    perblock: bool | None = None):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -364,9 +371,18 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     starts_raw = jnp.maximum(vox[::block] - pre, 0)
     starts = jnp.minimum((starts_raw // LANE) * LANE,
                          max(nv_pad - window, 0)).astype(jnp.int32)
+    # dead lanes carry voxel 0; a dead tail after sorted live lanes would
+    # break monotonicity, so clamp starts to a running max (dead blocks
+    # deposit q=0 slabs wherever their window lands)
+    starts = jax.lax.associative_scan(jnp.maximum, starts)
     loc = vox - jnp.repeat(starts, block)
     in_window = (loc >= 0) & (loc < window)
     loc = jnp.where(in_window, loc, -1)
+    # the (12, nv_pad) accumulator stays VMEM-resident on small grids;
+    # large grids use per-block output slabs + the combine epilogue
+    if perblock is None:
+        perblock = (16 * nv_pad * 4 + 4 * N_TABLE * window * 4
+                    >= 12 * 2 ** 20)
     if resident is None:
         resident = (16 + N_TABLE) * nv_pad * 4 < 11 * 2 ** 20
     if resident:
@@ -394,45 +410,86 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                           memory_space=pltpu.VMEM)),
         ],
         out_specs=[
-            pl.BlockSpec((12, nv_pad),
-                         lambda i, s, p, t: (np.int32(0), np.int32(0)),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, 12, window),
+                          lambda i, s, p, t: (i, np.int32(0), np.int32(0)),
+                          memory_space=pltpu.VMEM)
+             if perblock else
+             pl.BlockSpec((12, nv_pad),
+                          lambda i, s, p, t: (np.int32(0), np.int32(0)),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((NROWS, block), lambda i, s, p, t: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
     )
-    precision = {"highest": jax.lax.Precision.HIGHEST,
-                 "high": jax.lax.Precision.HIGH,
-                 "default": jax.lax.Precision.DEFAULT}[mxu_precision]
     acc_t, pout = pl.pallas_call(
         functools.partial(_kernel, window=window, n_walk=n_walk,
-                          precision=precision, resident=resident),
+                          resident=resident, perblock=perblock),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=15 * 2 ** 20),
         out_shape=[
-            jax.ShapeDtypeStruct((12, nv_pad), jnp.float32),
+            (jax.ShapeDtypeStruct((nb, 12, window), jnp.float32)
+             if perblock else
+             jax.ShapeDtypeStruct((12, nv_pad), jnp.float32)),
             jax.ShapeDtypeStruct((NROWS, npad), jnp.float32),
         ],
     )(starts, params, strides,
       loc.reshape(nb * (block // LANE), LANE), pstate_t, win_all)
 
+    if perblock:
+        acc_t = _combine_slabs(acc_t, starts, nv_pad, window)
     return acc_t, pout[:, :n], in_window[:n]
+
+
+def _combine_slabs(slabs, starts, nv_pad: int, window: int):
+    """Merge per-block deposit slabs into the (12, nv_pad) accumulator.
+
+    ``starts`` is nondecreasing and LANE-aligned (sorted particles +
+    running max), so equal-start runs are contiguous: a cumulative sum
+    over blocks turns each run's total into a difference of two rows, and
+    one rolled pass adds the <= nv_pad/LANE distinct windows in place.
+    This is O(slab bytes) — no scatter (XLA scatter costs one update per
+    input element; see NOTES_ROUND2)."""
+    from .push import compact_indices
+
+    nb = slabs.shape[0]
+    csum = jnp.cumsum(slabs, axis=0)                        # (nb, 12, W)
+    is_end = jnp.concatenate(
+        [starts[1:] != starts[:-1],
+         jnp.ones((1,), bool)])                             # last of run
+    G = int(min(nb, nv_pad // LANE + 1))
+    sel, _, valid = compact_indices(is_end, G, nb)
+    sel_safe = jnp.where(valid, sel, nb - 1)
+    ends = csum[sel_safe]                                   # (G, 12, W)
+    prev = jnp.concatenate(
+        [jnp.zeros((1,) + ends.shape[1:], ends.dtype), ends[:-1]], axis=0)
+    seg = jnp.where(valid[:, None, None], ends - prev, 0.0)
+    gstart = jnp.where(valid, starts[sel_safe], 0)
+
+    def body(gidx, acc):
+        s = gstart[gidx]
+        cur = jax.lax.dynamic_slice(acc, (jnp.int32(0), s), (12, window))
+        return jax.lax.dynamic_update_slice(
+            acc, cur + seg[gidx], (jnp.int32(0), s))
+
+    acc0 = jnp.zeros((12, nv_pad), jnp.float32)
+    return jax.lax.fori_loop(0, G, body, acc0)
 
 
 def pick_window(nxg: int) -> tuple:
     """(window, pre) sized so one backward OR forward transverse crossing
-    (+-nxg) stays inside a block's deposit window."""
-    window = min(max(512, _round_up(2 * nxg + 128, 128)), 1024)
+    (+-nxg) stays inside a block's deposit window.  Windows beyond 1024
+    lanes (512^2-class grids) cost proportionally more MXU passes per
+    one-hot matmul but keep the fused path available."""
+    window = min(max(512, _round_up(2 * nxg + 128, 128)), 2048)
     return window, window // 2
 
 
 def fused_vmem_ok(nv: int, nxg: int = 0) -> bool:
-    """Whether the VMEM-resident accumulator fits this grid (the gather
-    table streams from HBM on large grids) and the crossing windows cover
-    transverse crossings."""
+    """Whether the fused kernel covers this grid.  Since round 3 there is
+    NO voxel-count ceiling (large grids stream the gather table from HBM
+    and emit per-block deposit slabs; grid.h:132-143 is the reference's
+    2^63 analogue); the only requirement is that the deposit window can
+    cover one transverse (+-nxg) crossing, i.e. nxg <~ 960."""
     window, pre = pick_window(nxg)
-    nv_pad = _round_up(nv + 1, LANE)
-    acc_bytes = 16 * nv_pad * 4            # sublane-padded f32 accumulator
-    win_bytes = 2 * N_TABLE * window * 4   # pipelined table-window blocks
-    return (acc_bytes + win_bytes < 13 * 2 ** 20) and nxg + 64 <= pre
+    return nxg + 64 <= pre
