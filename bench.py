@@ -31,11 +31,13 @@ def main():
     # warmup / compile (two steps: the sorting and non-sorting advance
     # variants are separate executables when resort_interval > 1)
     sim.advance(2)
-    jax.block_until_ready(sim.state)
+    # a scalar device->host fetch is the reliable barrier over the
+    # tunneled backend (block_until_ready can return early there)
+    int(np.asarray(sim.state.species[0].np))
 
     t0 = time.perf_counter()
     sim.advance(steps)
-    jax.block_until_ready(sim.state)
+    int(np.asarray(sim.state.species[0].np))
     dt = time.perf_counter() - t0
 
     total_particles = sum(

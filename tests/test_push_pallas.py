@@ -166,6 +166,25 @@ def test_fused_perblock_slabs_match():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_fused_tiled_layout_matches():
+    """The tiled-x kernel layout (large-grid mode) must match the unfused
+    reference exactly.  On a tiny grid (nxg < TILE) tiled ordering equals
+    voxel ordering, so the standard harness applies."""
+    if not _needs_cpu("test_fused_tiled_layout_matches"):
+        return
+    from vpic_tpu.particles import push_pallas as pk
+
+    orig = pk.use_tiled
+    pk.use_tiled = lambda g: True
+    try:
+        for pbc in ((PERIODIC_FIELDS,) * 6,
+                    (NEIGHBOR_REFLECT, NEIGHBOR_ABSORB)
+                    + (PERIODIC_FIELDS,) * 4):
+            _check_fused_matches_unfused(False, pbc)
+    finally:
+        pk.use_tiled = orig
+
+
 def test_fused_unsorted_redo_path():
     """Badly unsorted particles exercise the out-of-window redo path."""
     if not _needs_cpu("test_fused_unsorted_redo_path"):

@@ -44,12 +44,13 @@ def main():
         f = lambda v, p: pk.fused_push_walk(v, p, table, params, strides,
                                             g.nv, **kw)
         out = f(voxj, pstate)
-        jax.block_until_ready(out)
+        # scalar fetch = reliable barrier over the tunneled backend
+        float(jnp.sum(out[0]))
         reps = 10
         t0 = time.perf_counter()
         for _ in range(reps):
             out = f(voxj, pstate)
-        jax.block_until_ready(out)
+        float(jnp.sum(out[0]))
         dt = (time.perf_counter() - t0) / reps
         acc_sum = float(jnp.sum(out[0]))
         n_exp = int(jnp.sum(out[1][pk.PEXPT] > 0.5))
@@ -57,9 +58,10 @@ def main():
               f"exports={n_exp}  acc_sum={acc_sum:.6f}")
 
     run("baseline (bf16x3, walk4)")
+    run("n_walk=3 (2D default)", n_walk=3)
     run("n_walk=2", n_walk=2)
     run("n_walk=1", n_walk=1)
-    run("block=2048", block=2048)
+    run("walk3, no deposit dots", n_walk=3, skip_deposit=True)
     run("window=256 pre=96", window=256, pre=96)
 
 

@@ -62,6 +62,7 @@ def main():
                 device_pids.add(e["pid"])
     by_name = defaultdict(float)
     count = defaultdict(int)
+    detail = {}
     total_dev = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -73,11 +74,17 @@ def main():
         by_name[name] += dur
         count[name] += 1
         total_dev += dur
+        if name not in detail:
+            args = e.get("args", {}) or {}
+            detail[name] = str(
+                args.get("long_name") or args.get("tf_op")
+                or args.get("source") or "")[:160]
 
     rows = sorted(by_name.items(), key=lambda kv: -kv[1])[:50]
     print(f"{'ms_total':>9} {'ms/step':>8} {'n':>6}  name")
     for name, ms in rows:
-        print(f"{ms:9.2f} {ms/steps:8.2f} {count[name]:6d}  {name[:110]}")
+        print(f"{ms:9.2f} {ms/steps:8.2f} {count[name]:6d}  {name[:60]}  "
+              f"{detail.get(name, '')}")
     print(f"sum over tracked events: {total_dev:.1f} ms "
           f"({total_dev/steps:.1f} ms/step)")
 

@@ -17,12 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 CONFIGS = [
-    # (npart_total, nx, ny)
-    (1_000_000, 128, 128),
-    (4_000_000, 128, 128),
-    (8_000_000, 128, 128),
-    (8_000_000, 256, 256),
-    (16_000_000, 256, 256),
+    # (npart_total, nx, ny, nz)
+    (1_000_000, 128, 128, 1),
+    (4_000_000, 128, 128, 1),
+    (8_000_000, 128, 128, 1),
+    (8_000_000, 256, 256, 1),
+    (16_000_000, 256, 256, 1),
+    (8_000_000, 512, 512, 1),
+    (8_000_000, 64, 64, 64),
 ]
 
 
@@ -30,21 +32,25 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     from __graft_entry__ import _build
 
-    print("npart,nx,ny,ms_per_step,pushes_per_s,vs_ref_cpu")
-    for npart, nx, ny in CONFIGS:
-        sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2)
+    only = os.environ.get("SCALE_ONLY")  # e.g. "512" to filter configs
+    print("npart,nx,ny,nz,ms_per_step,pushes_per_s,vs_ref_cpu")
+    for npart, nx, ny, nz in CONFIGS:
+        if only and only not in (str(nx), f"{nx}x{ny}x{nz}"):
+            continue
+        sim = _build(nx=nx, ny=ny, nz=nz, npart=npart // 2)
         # warm an even number of steps: from an even step_count an even
         # timed region hits only the jitted resort-cycle executable
         sim.advance(4)
-        jax.block_until_ready(sim.state)
+        # scalar fetch = reliable barrier over the tunneled backend
+        int(np.asarray(sim.state.species[0].np))
         steps -= steps % 2
         t0 = time.perf_counter()
         sim.advance(steps)
-        jax.block_until_ready(sim.state)
+        int(np.asarray(sim.state.species[0].np))
         dt = time.perf_counter() - t0
         total = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
         pps = total * steps / dt
-        print(f"{total},{nx},{ny},{dt / steps * 1e3:.1f},"
+        print(f"{total},{nx},{ny},{nz},{dt / steps * 1e3:.1f},"
               f"{pps:.3e},{pps / 7.8e6:.2f}", flush=True)
         del sim
 

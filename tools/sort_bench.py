@@ -1,0 +1,72 @@
+"""Compare particle-sort strategies on the real chip.
+
+Usage: python tools/sort_bench.py [n]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_250_000
+    rng = np.random.default_rng(0)
+    key = jnp.asarray(rng.integers(0, 17000, n).astype(np.int32))
+    cols = [jnp.asarray(rng.normal(size=n).astype(np.float32))
+            for _ in range(8)]
+
+    def timeit(tag, fn, *args):
+        # a device->host scalar fetch is the only reliable barrier over
+        # the tunneled backend (block_until_ready returns early there)
+        out = fn(*args)
+        float(jnp.sum(out[0]))
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        float(jnp.sum(out[0]))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{tag:40s} {dt*1e3:7.2f} ms")
+        return out
+
+    @jax.jit
+    def multi_operand(key, *cols):
+        return jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
+
+    @jax.jit
+    def argsort_gather_packed(key, *cols):
+        ks, perm = jax.lax.sort(
+            (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
+            num_keys=1, is_stable=True)
+        packed = jnp.stack(cols, axis=-1)       # (n, 8)
+        out = packed[perm]
+        return (ks,) + tuple(out[:, i] for i in range(len(cols)))
+
+    @jax.jit
+    def argsort_gather_cols(key, *cols):
+        ks, perm = jax.lax.sort(
+            (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
+            num_keys=1, is_stable=True)
+        return (ks,) + tuple(c[perm] for c in cols)
+
+    @jax.jit
+    def key_iota_only(key):
+        return jax.lax.sort(
+            (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
+            num_keys=1, is_stable=True)
+
+    timeit("lax.sort 9 operands (current)", multi_operand, key, *cols)
+    timeit("argsort + packed row-gather", argsort_gather_packed, key, *cols)
+    timeit("argsort + 8 col gathers", argsort_gather_cols, key, *cols)
+    timeit("argsort alone (key+iota)", key_iota_only, key)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,12 @@ def make_advance(
     (SimState -> SimState), the deck section analogues
     (deck_wrapper.cxx:16-36)."""
 
+    # under the Courant limit a particle crosses at most one face per
+    # ACTIVE axis, so n_axes+1 streak segments always suffice (2D decks:
+    # 3 instead of 4 — one less in-kernel deposit matmul per row)
+    n_axes = (g.gnx > 1) + (g.gny > 1) + (g.gnz > 1)
+    n_walk = min(opts.n_walk, n_axes + 1)
+
     sorted_deposit = opts.sorted_deposit
     if sorted_deposit is None:
         # VMEM budget for the (16, nv_pad) transposed accumulator
@@ -173,6 +179,9 @@ def make_advance(
         # sorted Pallas paths are active — they tolerate inter-sort drift
         # via the out-of-window fix-up — else on the reference's
         # per-species sort_interval) --
+        # the fused kernel on a tiled grid wants tiled-key ordering
+        sort_fn = ((lambda s: paux.sort_p(s, g)) if fused_push
+                   else paux.sort_p)
         species = []
         for sp in state.species:
             if sorted_deposit:
@@ -183,10 +192,10 @@ def make_advance(
                 # current (deposit_sorted_into caps overflow).  Sort every
                 # step unless the fused path is active.
                 if do_sort or not fused_push:
-                    sp = paux.sort_p(sp)
+                    sp = sort_fn(sp)
             elif sp.sort_interval > 0:
                 hit = (state.step % sp.sort_interval) == 0
-                sp = lax.cond(hit, paux.sort_p, lambda s: s, sp)
+                sp = lax.cond(hit, sort_fn, lambda s: s, sp)
             species.append(sp)
 
         state = dataclasses.replace(state, species=tuple(species))
@@ -194,7 +203,8 @@ def make_advance(
             state = user_particle_collisions(state)
 
         # -- particle push + current deposition --
-        interp_t = (ppush.make_interp_t(state.interpolator, g, nb)
+        interp_t = (ppush.make_interp_t(state.interpolator, g,
+                                        exc_t=state.grid_arrays.exc_t)
                     if fused_push else None)
         species = []
         for sp in state.species:
@@ -207,7 +217,7 @@ def make_advance(
                 frac = 256 if k <= 1 else (128 if k <= 2 else 24)
                 fix_cap = max(8192, sp.max_np // frac)
             sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb, g,
-                                      n_walk=opts.n_walk,
+                                      n_walk=n_walk,
                                       sorted_deposit=sorted_deposit,
                                       fused=fused_push, interp_t=interp_t,
                                       fix_cap=fix_cap)
@@ -235,7 +245,7 @@ def make_advance(
                 for sp in state.species:
                     key, k2 = jax.random.split(key)
                     sp, f, acc, bstate = pboundary.process_boundary(
-                        sp, f, acc, nb, g, pcomm, opts.max_inj, opts.n_walk,
+                        sp, f, acc, nb, g, pcomm, opts.max_inj, n_walk,
                         handlers=boundary_handlers, bstate=bstate, key=k2,
                         step=state.step, mig_cap=opts.mig_cap)
                     species.append(sp)

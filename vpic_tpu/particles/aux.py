@@ -148,23 +148,39 @@ def accumulate_hydro_p(h, sp: SpeciesState, interp, g: Grid):
     return h.at[idx].add(contrib, mode="promise_in_bounds")
 
 
-def sort_p(sp: SpeciesState) -> SpeciesState:
+def sort_p(sp: SpeciesState, g: Grid | None = None) -> SpeciesState:
     """Sort particles by voxel (counting-sort analogue of sort_p.c:16-102,
     here a multi-operand ``lax.sort``) and compact zombies/free slots to the
     tail, refreshing ``np``.  Assumes mover state (mdx..., pc) is clear,
-    which holds between steps (finish_boundary)."""
+    which holds between steps (finish_boundary).
+
+    When ``g`` is given and the fused kernel runs this grid in the
+    tiled-x layout, the sort key is the TILED index (arithmetic on sp.i)
+    so kernel blocks see monotone tiled windows."""
     big = jnp.int32(2 ** 30)
-    key = jnp.where(sp.alive, sp.i, big)
-    key, dx, dy, dz, ux, uy, uz, q, tag = jax.lax.sort(
-        (key, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q, sp.tag),
-        num_keys=1, is_stable=True)
+    key_src = sp.i
+    if g is not None:
+        from . import push_pallas as pk
+        if pk.use_tiled(g):
+            key_src = pk.tvox_of(g, jnp.maximum(sp.i, 0))
+    key = jnp.where(sp.alive, key_src, big)
+    if key_src is sp.i:
+        key, dx, dy, dz, ux, uy, uz, q, tag = jax.lax.sort(
+            (key, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q, sp.tag),
+            num_keys=1, is_stable=True)
+        vox = key
+    else:
+        key, vox, dx, dy, dz, ux, uy, uz, q, tag = jax.lax.sort(
+            (key, sp.i, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q,
+             sp.tag),
+            num_keys=1, is_stable=True)
     live = jnp.sum(sp.alive).astype(jnp.int32)
     in_range = jnp.arange(sp.max_np, dtype=jnp.int32) < live
 
     return sp.replace(
         np=live,
         dx=dx, dy=dy, dz=dz,
-        i=jnp.where(in_range, key, 0),
+        i=jnp.where(in_range, vox, 0),
         ux=ux, uy=uy, uz=uz, q=jnp.where(in_range, q, 0.0),
         tag=jnp.where(in_range, tag, 0),
     )

@@ -478,16 +478,68 @@ def _push_math(ip, dx, dy, dz, ux0, uy0, uz0, qdt_2mc, cdt):
             (ux * cdt[0]) * v0, (uy * cdt[1]) * v0, (uz * cdt[2]) * v0)
 
 
-def make_interp_t(interp, g: Grid, neighbor):
-    """Lane-padded (19, nv_pad) gather table for the fused kernel:
-    18 transposed interpolator rows + the per-voxel exception-bit row
-    (species-independent; build once per step)."""
+def tile_interp(interp, g: Grid):
+    """(18, nvt) tiled-x transposed interpolator via bulk pad/transpose/
+    reshape — no gather (an nvt-row gather cost ~18 ms/step at 512^2)."""
     from . import push_pallas as pk
 
-    nv_pad = pk._round_up(g.nv + 1, pk.LANE)
+    xt = (g.nxg + pk.TILE - 1) // pk.TILE
+    X = xt * pk.TILE
+    j = g.nzg * g.nyg
+    i3 = interp.reshape(j, g.nxg, 18)
+    i3 = jnp.pad(i3, ((0, 0), (0, X - g.nxg), (0, 0)))
+    # tiled index t = xtile*(j*128) + j_idx*128 + xoff
+    return i3.reshape(j, xt, pk.TILE, 18).transpose(
+        3, 1, 0, 2).reshape(18, xt * j * pk.TILE)
+
+
+def untile_acc(acc_t, g: Grid):
+    """(12, nvt_pad) tiled accumulator -> (nv, 12) row-major, bulk ops."""
+    from . import push_pallas as pk
+
+    xt = (g.nxg + pk.TILE - 1) // pk.TILE
+    X = xt * pk.TILE
+    j = g.nzg * g.nyg
+    a = acc_t[:, :xt * j * pk.TILE].reshape(12, xt, j, pk.TILE)
+    a = a.transpose(0, 2, 1, 3).reshape(12, j, X)[:, :, :g.nxg]
+    return a.reshape(12, g.nv).T
+
+
+def make_interp_t(interp, g: Grid, neighbor=None, exc_t=None):
+    """Lane-padded (N_TABLE, nv_pad) gather table for the fused kernel:
+    18 transposed interpolator rows, the per-voxel exception-bit row, and
+    6 face-shifted exception rows (exc[v + stride_f]) so an in-kernel
+    crossing picks up its new voxel's exc bits without an extra gather
+    (species-independent; build once per step).  Large grids build the
+    table in the TILED-x layout (push_pallas.use_tiled) so the deposit
+    window stays 512 lanes regardless of nxg.
+
+    ``exc_t`` is the STATIC (7, nvk) exception-row stack from
+    GridArrays (computed once at init); when absent it is rebuilt from
+    ``neighbor`` (slow path kept for direct advance_p calls in tests)."""
+    from . import push_pallas as pk
+
+    tiled = pk.use_tiled(g)
+    if tiled:
+        nvk = pk.n_tiled(g)
+        cols = tile_interp(interp, g)
+    else:
+        nvk = g.nv
+        cols = interp.T
+    if exc_t is None:
+        if tiled:
+            exc = pk.tiled_exception_bits(neighbor, g)
+            strides = pk.tiled_face_strides(g)
+        else:
+            exc = pk.exception_bits(neighbor, g)
+            strides = pk.face_strides(g)
+        exc_t = jnp.stack([exc] + [jnp.roll(exc, -s) for s in strides],
+                          axis=0)
+    nv_pad = pk._round_up(nvk + 1, pk.LANE)
     t = jnp.zeros((pk.N_TABLE, nv_pad), jnp.float32)
-    t = t.at[:18, :g.nv].set(interp.T)
-    return t.at[pk.EXC_ROW, :g.nv].set(pk.exception_bits(neighbor, g))
+    t = t.at[:18, :nvk].set(cols)
+    t = t.at[pk.EXC_ROW:pk.EXC_SHIFT_ROW + 6, :nvk].set(exc_t)
+    return t
 
 
 def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
@@ -519,14 +571,30 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     if table_t is None:
         table_t = make_interp_t(interp, g, neighbor)
     params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
-    strides = jnp.asarray(pk.face_strides(g), jnp.int32)
+
+    # large grids run the kernel in the tiled-x layout: the deposit
+    # window stays 512 regardless of nxg (push_pallas tiling notes);
+    # conversions in/out are pure arithmetic
+    tiled = pk.use_tiled(g)
+    if tiled:
+        nvk = pk.n_tiled(g)
+        vox_k = pk.tvox_of(g, vox)
+        strides = jnp.asarray(pk.tiled_face_strides(g), jnp.int32)
+    else:
+        nvk = g.nv
+        vox_k = vox
+        strides = jnp.asarray(pk.face_strides(g), jnp.int32)
 
     ko = dict(kernel_opts or {})
     if "window" not in ko:
-        ko["window"], ko["pre"] = pk.pick_window(g.nxg)
+        ko["window"], ko["pre"] = ((512, 256) if tiled
+                                   else pk.pick_window(g.nxg))
     acc_t, pout, in_win = pk.fused_push_walk(
-        vox, pstate_t, table_t, params, strides, g.nv, n_walk=n_walk, **ko)
-    acc = acc + acc_t[:, :g.nv].T
+        vox_k, pstate_t, table_t, params, strides, nvk, n_walk=n_walk, **ko)
+    if tiled:
+        acc = acc + untile_acc(acc_t, g)
+    else:
+        acc = acc + acc_t[:, :g.nv].T
 
     expt = pout[pk.PEXPT] > 0.5
     fix = alive & (expt | ~in_win)
@@ -538,11 +606,13 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     uxo = jnp.where(alive, pout[pk.PUX], sp.ux)
     uyo = jnp.where(alive, pout[pk.PUY], sp.uy)
     uzo = jnp.where(alive, pout[pk.PUZ], sp.uz)
+    kvox = (pout[pk.PVOX] + 0.5).astype(jnp.int32)
+    if tiled:
+        kvox = pk.vox_of_t(g, jnp.clip(kvox, 0, nvk - 1))
     # out-of-window lanes were never pushed (kernel passthrough leaves
     # PVOX = start - 1, a garbage voxel); they keep their original voxel
     # so that lanes dropped from an overflowing fix-up buffer stay valid
-    vox_o = jnp.where(alive & in_win,
-                      (pout[pk.PVOX] + 0.5).astype(jnp.int32), sp.i)
+    vox_o = jnp.where(alive & in_win, kvox, sp.i)
 
     # ---- compacted fix-up buffer ----
     sel, n_fix, valid = compact_indices_hier(fix, K, max_np)
@@ -562,8 +632,7 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
         x=mix(sp.dx[safe], pout[pk.PX][safe]),
         y=mix(sp.dy[safe], pout[pk.PY][safe]),
         z=mix(sp.dz[safe], pout[pk.PZ][safe]),
-        vox=jnp.where(redo, sp.i[safe],
-                      (pout[pk.PVOX][safe] + 0.5).astype(jnp.int32)),
+        vox=jnp.where(redo, sp.i[safe], kvox[safe]),
         ux=mix(rux, pout[pk.PUX][safe]),
         uy=mix(ruy, pout[pk.PUY][safe]),
         uz=mix(ruz, pout[pk.PUZ][safe]),

@@ -55,7 +55,10 @@ TWO_FIFTEENTHS = 2.0 / 15.0
 PX, PY, PZ, PUX, PUY, PUZ, PRX, PRY, PRZ, PVOX, PTYPE, PDIR, PEXPT = range(13)
 NROWS = 16
 EXC_ROW = 18          # exception-bit row index in the gathered table
-N_TABLE = 24          # 19 used rows padded to a sublane multiple
+EXC_SHIFT_ROW = 19    # rows 19..24: exc bits of the face-f neighbor
+                      # (exc[v + stride_f]) — prefetched so a second
+                      # crossing needs NO in-kernel exc re-gather
+N_TABLE = 32          # 25 used rows padded to a sublane multiple
 PRE = 192             # window-start bias: headroom for backward crossings
 
 
@@ -72,6 +75,83 @@ def face_strides(g) -> tuple:
     return (-sx, -sy, -sz, sx, sy, sz)
 
 
+# ---------------------------------------------------------------------------
+# Tiled-x voxel layout for large grids.
+#
+# The deposit/gather window must cover one transverse (y) crossing, which
+# in row-major voxel space is +-nxg — so W grows with the grid and a
+# 512^2 deck pays ~2.5x the 128^2 MXU passes.  Retiling x into 128-lane
+# columns (t = xtile*(nzg*nyg*128) + (z*nyg + y)*128 + xoff) makes a
+# y-crossing +-128 REGARDLESS of nxg: W stays 512 for every grid.  An
+# x-crossing is +-1 except across a tile seam (xoff 0/127), which the
+# existing exception-bit export path absorbs (~crossing_frac/64 of lanes).
+# Everything outside the kernel stays in normal voxel space; only the
+# kernel's inputs/outputs are converted (arithmetically — no gathers).
+# ---------------------------------------------------------------------------
+
+TILE = 128
+
+
+def use_tiled(g) -> bool:
+    """Tile when the row-major window would exceed the 512-lane sweet
+    spot (nxg > 192)."""
+    return g.nxg > 192
+
+
+def n_tiled(g) -> int:
+    xtiles = (g.nxg + TILE - 1) // TILE
+    return xtiles * g.nzg * g.nyg * TILE
+
+
+def tvox_of(g, vox):
+    """Row-major voxel -> tiled index (elementwise arithmetic)."""
+    j = vox // g.nxg
+    x = vox - j * g.nxg
+    xt = x // TILE
+    return xt * (g.nzg * g.nyg * TILE) + j * TILE + (x - xt * TILE)
+
+
+def vox_of_t(g, t):
+    """Tiled index -> row-major voxel (pad columns map past nxg)."""
+    plane = g.nzg * g.nyg * TILE
+    xt = t // plane
+    r = t - xt * plane
+    j = r // TILE
+    xo = r - j * TILE
+    return j * g.nxg + xt * TILE + xo
+
+
+def tiled_face_strides(g) -> tuple:
+    """Per-face strides in tiled space (x seams are exceptions)."""
+    sx = 1 if g.gnx > 1 else 0
+    sy = TILE if g.gny > 1 else 0
+    sz = TILE * g.nyg if g.gnz > 1 else 0
+    return (-sx, -sy, -sz, sx, sy, sz)
+
+
+def tiled_exception_bits(neighbor, g) -> jax.Array:
+    """(nvt,) f32 bitmask in tiled space: bit f set where the neighbor
+    table disagrees with the tiled arithmetic stride — domain faces AND
+    x tile seams.  Pad columns (x >= nxg) are all-exception."""
+    nvt = n_tiled(g)
+    t = jnp.arange(nvt, dtype=jnp.int32)
+    vox = vox_of_t(g, t)
+    # x coordinate of the tiled column (pad columns exceed the real grid)
+    plane = g.nzg * g.nyg * TILE
+    xt = t // plane
+    xo = t % TILE
+    in_grid = xt * TILE + xo < g.nxg
+    vox_safe = jnp.where(in_grid, jnp.minimum(vox, g.nv - 1), 0)
+    nb_rows = neighbor[vox_safe]                        # (nvt, 6)
+    bits = jnp.zeros((nvt,), jnp.int32)
+    for f, s in enumerate(tiled_face_strides(g)):
+        nb_t = tvox_of(g, jnp.clip(nb_rows[:, f], 0, g.nv - 1))
+        ok = (nb_rows[:, f] >= 0) & (nb_t == t + s)
+        bits = bits | (jnp.where(ok, 0, 1) << f)
+    bits = jnp.where(in_grid, bits, (1 << 6) - 1)
+    return bits.astype(jnp.float32)
+
+
 def exception_bits(neighbor, g) -> jax.Array:
     """(nv,) f32 bitmask: bit f set where ``neighbor[:, f]`` differs from
     the arithmetic interior stride (i.e. the crossing needs the real
@@ -86,7 +166,7 @@ def exception_bits(neighbor, g) -> jax.Array:
 
 def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
             win_ref, acc_ref, pout_ref, *, window, n_walk, resident,
-            perblock):
+            perblock, skip_deposit=False):
     i = pl.program_id(0)
 
     if not perblock:
@@ -112,7 +192,6 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
     big = jnp.float32(3.4e38)
     rows = loc_ref.shape[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, LANE), 0)
-    exc_win = win[EXC_ROW:EXC_ROW + 1, :].astype(jnp.bfloat16)  # (1, W)
     blk0 = jnp.zeros((12, window), jnp.float32)
 
     def split3(v):
@@ -207,17 +286,25 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
         ploc = loc0
 
         exc_i = (C[EXC_ROW:EXC_ROW + 1, :] + 0.5).astype(jnp.int32)
+        # neighbor-voxel exc bits, prefetched per face in the same gather:
+        # after an interior crossing through face f the lane's NEW exc is
+        # shexc[f] — no in-kernel exc re-gather (an MXU dot) is needed.
+        # A lane reaching a THIRD crossing (3D corner tails, whose exc
+        # would need a doubly-shifted row) is exported instead.
+        shexc = (C[EXC_SHIFT_ROW:EXC_SHIFT_ROW + 6, :]
+                 + 0.5).astype(jnp.int32)                      # (6, 128)
+        ncross = jnp.zeros_like(loc0)
         pos = (dx0, dy0, dz0)
         loc_cur = loc0
         active = inb
 
         # ---- the streak walk (move_p.c:34-134), all segments in-kernel ----
-        carry = (blk, ohT, exc_i, loc_cur, active, pos, rem,
+        carry = (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
                  (pox, poy, poz), (prx, pry, prz),
                  ptype, pdir, pexpt, ploc)
 
         def segment(carry, last, rebuild_oh):
-            (blk, ohT, exc_i, loc_cur, active, pos, rem,
+            (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
              po, pr, ptype, pdir, pexpt, ploc) = carry
             sdir = tuple(jnp.where(rr > 0, one, -one) for rr in rem)
             frac = tuple(jnp.where(rr == 0, big, (dd - pp) / rr)
@@ -245,7 +332,8 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
                     vX * (one + my) * (one + mz) + v5,
                 ]
             contrib = jnp.concatenate(contrib, axis=0)         # (12, 128)
-            blk = blk + dot3(contrib, ohT, (((1,), (1,)), ((), ())))
+            if not skip_deposit:   # perf-diagnosis knob only
+                blk = blk + dot3(contrib, ohT, (((1,), (1,)), ((), ())))
 
             rem = tuple(rr - ss for rr, ss in zip(rem, sd))
             pos_n = tuple(pp + 2.0 * ss for pp, ss in zip(pos, sd))
@@ -262,7 +350,9 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
                 stridev = jnp.where(face_c == f, strides_ref[f], stridev)
             newloc = loc_cur + stridev
             escape = (newloc < 0) | (newloc >= window)
-            exp_now = active & ~done & ((excbit > 0) | escape)
+            # third crossing: neighbor-of-neighbor exc is not prefetched
+            exp_now = active & ~done & ((excbit > 0) | escape
+                                        | (ncross >= 2))
             cross = active & ~done & ~exp_now
 
             # position: crossers flip the hit coordinate exactly
@@ -287,17 +377,19 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
             loc_cur = jnp.where(cross, newloc, loc_cur)
             active = cross if not last else jnp.zeros_like(cross)
 
+            # crossers pick up their new voxel's exc bits from the
+            # prefetched per-face shift rows (free — no MXU dot)
+            exc_new = jnp.zeros_like(exc_i)
+            for f in range(6):
+                exc_new = jnp.where(face_c == f, shexc[f:f + 1], exc_new)
+            exc_i = jnp.where(cross, exc_new, exc_i)
+            ncross = ncross + cross.astype(jnp.int32)
+
             if rebuild_oh:
                 ohT = ((jnp.where(active, loc_cur, jnp.int32(-1)) == iota_w)
                        ).astype(jnp.bfloat16)
-                # exception bits are small ints, exact in bf16
-                exc_f = jax.lax.dot_general(
-                    exc_win, ohT,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                exc_i = (exc_f + 0.5).astype(jnp.int32)
 
-            return (blk, ohT, exc_i, loc_cur, active, pos_out, rem,
+            return (blk, ohT, exc_i, ncross, loc_cur, active, pos_out, rem,
                     po, pr, ptype, pdir, pexpt, ploc)
 
         # NOTE: skipping all-done tail segments behind a value-carrying
@@ -307,7 +399,7 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
             last = s == n_walk - 1
             carry = segment(carry, last=last, rebuild_oh=not last)
 
-        (blk, ohT, exc_i, loc_cur, active, pos, rem,
+        (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
          (pox, poy, poz), (prx, pry, prz),
          ptype, pdir, pexpt, ploc) = carry
 
@@ -337,11 +429,13 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nv", "n_walk", "block", "window",
-                                    "pre", "resident", "perblock"))
+                                    "pre", "resident", "perblock",
+                                    "skip_deposit"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
                     pre: int = PRE, resident: bool | None = None,
-                    perblock: bool | None = None):
+                    perblock: bool | None = None,
+                    skip_deposit: bool = False):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -388,9 +482,18 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     if resident:
         win_all = table_t
     else:
-        win_all = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(table_t, (jnp.int32(0), s),
-                                            (N_TABLE, window)))(starts)
+        # one chunked row-gather instead of a vmapped dynamic_slice
+        # (which XLA unrolls into nb tiny update ops): starts are
+        # LANE-aligned, so each block's window is `window//LANE` whole
+        # chunks of a (C, N_TABLE, LANE) view
+        k = window // LANE
+        Ct = nv_pad // LANE
+        tab_c = table_t.reshape(N_TABLE, Ct, LANE).transpose(1, 0, 2)
+        cidx = jnp.minimum(starts // LANE, max(Ct - k, 0))
+        idx = cidx[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+        win_all = tab_c[idx]                       # (nb, k, N_TABLE, 128)
+        win_all = win_all.transpose(0, 2, 1, 3).reshape(
+            nb, N_TABLE, window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -423,7 +526,8 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     )
     acc_t, pout = pl.pallas_call(
         functools.partial(_kernel, window=window, n_walk=n_walk,
-                          resident=resident, perblock=perblock),
+                          resident=resident, perblock=perblock,
+                          skip_deposit=skip_deposit),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=15 * 2 ** 20),
@@ -445,35 +549,31 @@ def _combine_slabs(slabs, starts, nv_pad: int, window: int):
     """Merge per-block deposit slabs into the (12, nv_pad) accumulator.
 
     ``starts`` is nondecreasing and LANE-aligned (sorted particles +
-    running max), so equal-start runs are contiguous: a cumulative sum
-    over blocks turns each run's total into a difference of two rows, and
-    one rolled pass adds the <= nv_pad/LANE distinct windows in place.
-    This is O(slab bytes) — no scatter (XLA scatter costs one update per
-    input element; see NOTES_ROUND2)."""
-    from .push import compact_indices
-
+    running max), so a cumulative sum over blocks turns each equal-start
+    run's total into a difference of two rows; a vectorized searchsorted
+    densifies those run totals onto the nv_pad/LANE chunk grid, and
+    window/LANE shifted adds place them.  O(slab bytes), fully
+    vectorized — no scatter, no sequential loop."""
     nb = slabs.shape[0]
-    csum = jnp.cumsum(slabs, axis=0)                        # (nb, 12, W)
-    is_end = jnp.concatenate(
-        [starts[1:] != starts[:-1],
-         jnp.ones((1,), bool)])                             # last of run
-    G = int(min(nb, nv_pad // LANE + 1))
-    sel, _, valid = compact_indices(is_end, G, nb)
-    sel_safe = jnp.where(valid, sel, nb - 1)
-    ends = csum[sel_safe]                                   # (G, 12, W)
-    prev = jnp.concatenate(
-        [jnp.zeros((1,) + ends.shape[1:], ends.dtype), ends[:-1]], axis=0)
-    seg = jnp.where(valid[:, None, None], ends - prev, 0.0)
-    gstart = jnp.where(valid, starts[sel_safe], 0)
-
-    def body(gidx, acc):
-        s = gstart[gidx]
-        cur = jax.lax.dynamic_slice(acc, (jnp.int32(0), s), (12, window))
-        return jax.lax.dynamic_update_slice(
-            acc, cur + seg[gidx], (jnp.int32(0), s))
-
-    acc0 = jnp.zeros((12, nv_pad), jnp.float32)
-    return jax.lax.fori_loop(0, G, body, acc0)
+    C = nv_pad // LANE
+    k = window // LANE
+    cum = jnp.cumsum(slabs, axis=0)                        # (nb, 12, W)
+    zero = jnp.zeros((1,) + cum.shape[1:], cum.dtype)
+    cum0 = jnp.concatenate([zero, cum], axis=0)            # (nb+1, 12, W)
+    chunk_starts = starts // LANE                          # sorted
+    ends = jnp.searchsorted(chunk_starts,
+                            jnp.arange(C, dtype=chunk_starts.dtype),
+                            side="right")                  # (C,) in [0,nb]
+    dense_end = cum0[ends]                                 # (C, 12, W)
+    dense_seg = dense_end - jnp.concatenate(
+        [zero, dense_end[:-1]], axis=0)    # (C,12,W): Σ slabs @ chunk c
+    out = jnp.zeros((C, 12, LANE), jnp.float32)
+    for j in range(k):
+        part = dense_seg[:, :, j * LANE:(j + 1) * LANE]
+        if j:
+            part = jnp.pad(part, ((j, 0), (0, 0), (0, 0)))[:C]
+        out = out + part
+    return out.transpose(1, 0, 2).reshape(12, nv_pad)
 
 
 def pick_window(nxg: int) -> tuple:
@@ -486,10 +586,10 @@ def pick_window(nxg: int) -> tuple:
 
 
 def fused_vmem_ok(nv: int, nxg: int = 0) -> bool:
-    """Whether the fused kernel covers this grid.  Since round 3 there is
-    NO voxel-count ceiling (large grids stream the gather table from HBM
-    and emit per-block deposit slabs; grid.h:132-143 is the reference's
-    2^63 analogue); the only requirement is that the deposit window can
-    cover one transverse (+-nxg) crossing, i.e. nxg <~ 960."""
-    window, pre = pick_window(nxg)
-    return nxg + 64 <= pre
+    """Whether the fused kernel covers this grid.  Since round 3 the
+    answer is always yes: there is no voxel-count ceiling (large grids
+    stream the gather table from HBM and emit per-block deposit slabs;
+    grid.h:132-143 is the reference's 2^63 analogue), and grids with
+    nxg > 192 run in the tiled-x layout where the deposit window is 512
+    lanes regardless of nxg."""
+    return True
