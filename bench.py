@@ -34,6 +34,10 @@ def main():
     # a scalar device->host fetch is the reliable barrier over the
     # tunneled backend (block_until_ready can return early there)
     int(np.asarray(sim.state.species[0].np))
+    # warm the multi-cycle lax.scan executable for the exact timed count
+    # (advance(steps) from an aligned step compiles a per-m scan program)
+    sim.advance(steps)
+    int(np.asarray(sim.state.species[0].np))
 
     t0 = time.perf_counter()
     sim.advance(steps)

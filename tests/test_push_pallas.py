@@ -97,14 +97,23 @@ def test_fused_matches_unfused():
             _check_fused_matches_unfused(hot, pbc)
 
 
-def _check_fused_matches_unfused(hot, pbc):
+def test_fused_rowloop_matches_unfused():
+    """The (1,128)-row-loop kernel layout stays available as a
+    fallback (wide=False); pin its semantics too."""
+    if not _needs_cpu("test_fused_rowloop_matches_unfused"):
+        return
+    _check_fused_matches_unfused(True, (PERIODIC_FIELDS,) * 6,
+                                 wide=False)
+
+
+def _check_fused_matches_unfused(hot, pbc, wide=True):
     g, rng, interp = mk(pbc)
     ga = make_grid_arrays(g)
     n, max_np = 300, 512
     sp = mk_species(g, rng, n, max_np, hot)
 
     acc0 = jnp.zeros((g.nv, 12), jnp.float32)
-    KO = dict(block=256, window=256, pre=64)
+    KO = dict(block=256, window=256, pre=64, wide=wide)
     sp_ref, acc_ref = jax.jit(
         lambda sp, acc: ppush.advance_p(sp, interp, acc, ga.neighbor, g,
                                         n_walk=4, fused=False,

@@ -57,12 +57,13 @@ def main():
         print(f"{tag:34s} {dt*1e3:7.2f} ms  {n/dt/1e6:8.1f} M/s  "
               f"exports={n_exp}  acc_sum={acc_sum:.6f}")
 
-    run("baseline (bf16x3, walk4)")
-    run("n_walk=3 (2D default)", n_walk=3)
-    run("n_walk=2", n_walk=2)
-    run("n_walk=1", n_walk=1)
-    run("walk3, no deposit dots", n_walk=3, skip_deposit=True)
-    run("window=256 pre=96", window=256, pre=96)
+    run("WIDE walk3 (2D default)", n_walk=3)
+    run("rowloop walk3", n_walk=3, wide=False)
+    run("WIDE walk4", n_walk=4)
+    run("rowloop walk4", wide=False)
+    run("WIDE walk3, no deposit", n_walk=3, skip_deposit=True)
+    run("rowloop walk3, no deposit", n_walk=3, skip_deposit=True,
+        wide=False)
 
 
 if __name__ == "__main__":

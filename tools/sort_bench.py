@@ -19,6 +19,13 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_250_000
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 17000, n).astype(np.int32))
+    # the real workload is NEAR-sorted: one step moves ~20% of lanes by
+    # +-64 (tiled y) or +-1 (x) in key value
+    ks0 = np.sort(rng.integers(0, 17000, n).astype(np.int32))
+    mv = rng.random(n)
+    disp = np.where(mv < 0.08, 64, np.where(mv < 0.16, -64,
+                    np.where(mv < 0.24, 1, np.where(mv < 0.32, -1, 0))))
+    key_near = jnp.asarray(np.clip(ks0 + disp, 0, 17000 - 1).astype(np.int32))
     cols = [jnp.asarray(rng.normal(size=n).astype(np.float32))
             for _ in range(8)]
 
@@ -62,10 +69,23 @@ def main():
             (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
             num_keys=1, is_stable=True)
 
+    @jax.jit
+    def multi_operand_unstable(key, *cols):
+        return jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
+
     timeit("lax.sort 9 operands (current)", multi_operand, key, *cols)
+    timeit("lax.sort 9 op UNSTABLE", multi_operand_unstable, key, *cols)
     timeit("argsort + packed row-gather", argsort_gather_packed, key, *cols)
     timeit("argsort + 8 col gathers", argsort_gather_cols, key, *cols)
     timeit("argsort alone (key+iota)", key_iota_only, key)
+    print("---- near-sorted key (one unsorted step of drift) ----")
+    timeit("NEAR lax.sort 9 operands", multi_operand, key_near, *cols)
+    timeit("NEAR lax.sort 9 op UNSTABLE", multi_operand_unstable,
+           key_near, *cols)
+    timeit("NEAR argsort + packed row-gather", argsort_gather_packed,
+           key_near, *cols)
+    timeit("NEAR argsort + 8 col gathers", argsort_gather_cols,
+           key_near, *cols)
 
 
 if __name__ == "__main__":

@@ -548,7 +548,27 @@ class Simulation:
                 state = adv_n(state)
             return state
 
+        self._cycle_body = cycle
         self._advance_cycle = jax.jit(cycle, donate_argnums=0)
+        self._cycles_scan_cache = {}
+
+    def _cycles_scan(self, m: int):
+        """One executable running ``m`` resort cycles via ``lax.scan`` —
+        a single dispatch (and a single XLA program) instead of ``m``,
+        which matters when per-dispatch/inter-op overhead rivals the step
+        itself (tunneled backends, small grids).  Cached per ``m``; the
+        scan body is the already-traced cycle, so compile cost is one
+        cycle + loop plumbing."""
+        fn = self._cycles_scan_cache.get(m)
+        if fn is None:
+            cyc = self._cycle_body
+
+            def run(state):
+                return jax.lax.scan(lambda s, _: (cyc(s), None), state,
+                                    None, length=m)[0]
+
+            fn = self._cycles_scan_cache[m] = jax.jit(run, donate_argnums=0)
+        return fn
 
     def advance(self, n=1):
         k = self.opts.resort_interval
@@ -556,6 +576,12 @@ class Simulation:
         while left > 0:
             if (getattr(self, "_advance_cycle", None) is not None
                     and left >= k and self.step_count % k == 0):
+                m = left // k
+                if m >= 2:
+                    self.state = self._cycles_scan(m)(self.state)
+                    self.step_count += m * k
+                    left -= m * k
+                    continue
                 self.state = self._advance_cycle(self.state)
                 self.step_count += k
                 left -= k

@@ -6,8 +6,9 @@ all in ONE kernel over sorted particle blocks.
 This is the speed-of-light form of the reference's hot loop
 (advance_p.cxx:68-183 + move_p.c:20-136): the 18-coefficient gather and
 every 12-component segment deposit are one-hot matmuls on the MXU against
-lane-windowed slices of VMEM-resident tables; the push/walk math runs on
-the VPU in (1,128)-row form; no per-element gather/scatter touches HBM.
+lane-windowed slices of VMEM-resident tables (block-wide, with the bf16x3
+exactness passes batched along M — see ``_kernel``); the push/walk math
+runs on the VPU; no per-element gather/scatter touches HBM.
 
 Cell crossings are resolved IN-KERNEL for the common case: an interior
 crossing through face ``f`` moves the voxel by a static per-face stride
@@ -164,9 +165,24 @@ def exception_bits(neighbor, g) -> jax.Array:
     return bits.astype(jnp.float32)
 
 
-def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
+def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
             win_ref, acc_ref, pout_ref, *, window, n_walk, resident,
-            perblock, skip_deposit=False):
+            perblock, rw, skip_deposit=False):
+    """Kernel body.  ``rw`` (row width) picks the layout:
+
+    - rw=LANE: historical row loop — each 128-lane row runs the walk on
+      (1,128) shapes with per-row gather/deposit dots.
+    - rw=block: WIDE layout — the whole block is one block-wide row, so
+      the gather is ONE (3*N_TABLE, W) x (W, block) dot and each deposit
+      ONE (36, block) x (block, W) dot per segment.  Same VPU vreg count,
+      ~3x fewer (and wider) MXU passes; the bf16x3 exactness trick rides
+      the M dimension (row groups summed after the dot, identical
+      associativity, bitwise-equal results).
+
+    The window-local position is computed in-kernel from pstate row 7
+    (the voxel as f32, exact below 2^24 — the PVOX output already relies
+    on this bound) because Mosaic forbids a (1, block) input block over
+    a (nb, block) array."""
     i = pl.program_id(0)
 
     if not perblock:
@@ -190,8 +206,8 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
 
     one = jnp.float32(1.0)
     big = jnp.float32(3.4e38)
-    rows = loc_ref.shape[0]
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, LANE), 0)
+    rows = pstate_ref.shape[1] // rw
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, rw), 0)
     blk0 = jnp.zeros((12, window), jnp.float32)
 
     def split3(v):
@@ -205,33 +221,32 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, mid, lo
 
-    def dot3(v, ohT, dims):
-        """Exact f32 dot against a 0/1 bf16 one-hot via split3."""
-        out = None
-        for part in split3(v):
-            d = jax.lax.dot_general(part, ohT, dimension_numbers=dims,
-                                    preferred_element_type=jnp.float32)
-            out = d if out is None else out + d
-        return out
+    def dot3(v, ohT, dims, m):
+        """Exact f32 dot against a 0/1 bf16 one-hot via split3, with the
+        three passes CONCATENATED along M into one dot: (3m, ...) rows in
+        a single MXU op (3x the row utilization of three m-row dots),
+        then the row groups summed — the same ((d1+d2)+d3) association,
+        bitwise-equal to three separate passes."""
+        cat = jnp.concatenate(split3(v), axis=0)
+        D = jax.lax.dot_general(cat, ohT, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+        return (D[0:m] + D[m:2 * m]) + D[2 * m:3 * m]
 
-    win3 = split3(win)
+    win3cat = jnp.concatenate(split3(win), axis=0)    # (3*N_TABLE, W) bf16
 
     def row_body(r, blk):
-        r128 = r * jnp.int32(LANE)
-        loc0 = loc_ref[r, :][None, :]                          # (1,128) int32
+        r128 = r * jnp.int32(rw)
+        ps = pstate_ref[:, pl.ds(r128, rw)]                    # (8, rw)
+        loc0 = ps[7:8].astype(jnp.int32) - start               # (1,rw) int32
         inb = (loc0 >= 0) & (loc0 < window)
         ohT = ((jnp.where(inb, loc0, jnp.int32(-1)) == iota_w)
-               ).astype(jnp.bfloat16)                           # (W, 128)
+               ).astype(jnp.bfloat16)                           # (W, rw)
 
-        # ---- gather: (19, W) x (W, 128) -> (19, 128), exact 3-pass ----
+        # ---- gather: one (3*N_TABLE, W) x (W, rw) dot, exact 3-pass ----
         gdims = (((1,), (0,)), ((), ()))
-        C = None
-        for part in win3:
-            d = jax.lax.dot_general(part, ohT, dimension_numbers=gdims,
-                                    preferred_element_type=jnp.float32)
-            C = d if C is None else C + d
-
-        ps = pstate_ref[:, pl.ds(r128, LANE)]                  # (7, 128)
+        D = jax.lax.dot_general(win3cat, ohT, dimension_numbers=gdims,
+                                preferred_element_type=jnp.float32)
+        C = (D[0:N_TABLE] + D[N_TABLE:2 * N_TABLE]) + D[2 * N_TABLE:]
         dx0, dy0, dz0 = ps[0:1], ps[1:2], ps[2:3]
         ux0, uy0, uz0 = ps[3:4], ps[4:5], ps[5:6]
         q = ps[6:7]
@@ -331,9 +346,10 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
                     vX * (one - my) * (one + mz) - v5,
                     vX * (one + my) * (one + mz) + v5,
                 ]
-            contrib = jnp.concatenate(contrib, axis=0)         # (12, 128)
+            contrib = jnp.concatenate(contrib, axis=0)         # (12, rw)
             if not skip_deposit:   # perf-diagnosis knob only
-                blk = blk + dot3(contrib, ohT, (((1,), (1,)), ((), ())))
+                blk = blk + dot3(contrib, ohT, (((1,), (1,)), ((), ())),
+                                 12)
 
             rem = tuple(rr - ss for rr, ss in zip(rem, sd))
             pos_n = tuple(pp + 2.0 * ss for pp, ss in zip(pos, sd))
@@ -407,15 +423,18 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
             pox, poy, poz, pux, puy, puz, prx, pry, prz,
             (start + ploc).astype(jnp.float32),
             ptype.astype(jnp.float32), pdir, pexpt,
-            jnp.zeros((NROWS - 13, LANE), jnp.float32),
-        ], axis=0)                                             # (16, 128)
-        pout_ref[:, pl.ds(r128, LANE)] = out
+            jnp.zeros((NROWS - 13, rw), jnp.float32),
+        ], axis=0)                                             # (16, rw)
+        pout_ref[:, pl.ds(r128, rw)] = out
         return blk
 
     # rolled loop over rows: 8x less unrolled Mosaic code than a Python
     # loop, which cuts kernel compile time from minutes to tens of seconds
-    blk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(rows),
-                            row_body, blk0)
+    if rows == 1:
+        blk = row_body(jnp.int32(0), blk0)
+    else:
+        blk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(rows),
+                                row_body, blk0)
 
     if perblock:
         # large grids: each block owns a private (12, window) output slab
@@ -430,12 +449,12 @@ def _kernel(starts_ref, params_ref, strides_ref, loc_ref, pstate_ref,
 @functools.partial(jax.jit,
                    static_argnames=("nv", "n_walk", "block", "window",
                                     "pre", "resident", "perblock",
-                                    "skip_deposit"))
+                                    "skip_deposit", "wide"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
                     pre: int = PRE, resident: bool | None = None,
                     perblock: bool | None = None,
-                    skip_deposit: bool = False):
+                    skip_deposit: bool = False, wide: bool = True):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -471,7 +490,10 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     starts = jax.lax.associative_scan(jnp.maximum, starts)
     loc = vox - jnp.repeat(starts, block)
     in_window = (loc >= 0) & (loc < window)
-    loc = jnp.where(in_window, loc, -1)
+    # the kernel recomputes loc from the voxel (pstate row 7, f32-exact
+    # below 2^24); only in_window is needed host-side
+    pstate_in = jnp.concatenate(
+        [pstate_t, vox.astype(jnp.float32)[None, :]], axis=0)   # (8, npad)
     # the (12, nv_pad) accumulator stays VMEM-resident on small grids;
     # large grids use per-block output slabs + the combine epilogue
     if perblock is None:
@@ -499,10 +521,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block // LANE, LANE),
-                         lambda i, s, p, t: (i, np.int32(0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, block), lambda i, s, p, t: (np.int32(0), i),
+            pl.BlockSpec((8, block), lambda i, s, p, t: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
             (pl.BlockSpec((N_TABLE, nv_pad),
                           lambda i, s, p, t: (np.int32(0), np.int32(0)),
@@ -527,6 +546,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     acc_t, pout = pl.pallas_call(
         functools.partial(_kernel, window=window, n_walk=n_walk,
                           resident=resident, perblock=perblock,
+                          rw=block if wide else LANE,
                           skip_deposit=skip_deposit),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -537,8 +557,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
              jax.ShapeDtypeStruct((12, nv_pad), jnp.float32)),
             jax.ShapeDtypeStruct((NROWS, npad), jnp.float32),
         ],
-    )(starts, params, strides,
-      loc.reshape(nb * (block // LANE), LANE), pstate_t, win_all)
+    )(starts, params, strides, pstate_in, win_all)
 
     if perblock:
         acc_t = _combine_slabs(acc_t, starts, nv_pad, window)
