@@ -22,11 +22,13 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 128))
     ny = int(os.environ.get("BENCH_NY", 128))
     steps = int(os.environ.get("BENCH_STEPS", 10))
+    resort = int(os.environ.get("BENCH_RESORT", 2))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build
 
-    sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2)  # 2 species
+    sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2,  # 2 species
+                 resort_interval=resort)
 
     # warmup / compile (two steps: the sorting and non-sorting advance
     # variants are separate executables when resort_interval > 1)

@@ -61,6 +61,7 @@ def main():
             if "TPU" in name or "/device:" in name or "XLA Op" in name:
                 device_pids.add(e["pid"])
     by_name = defaultdict(float)
+    by_phase = defaultdict(float)
     count = defaultdict(int)
     detail = {}
     total_dev = 0.0
@@ -74,11 +75,30 @@ def main():
         by_name[name] += dur
         count[name] += 1
         total_dev += dur
+        args = e.get("args", {}) or {}
+        meta = str(args.get("long_name") or args.get("tf_op")
+                   or args.get("source") or "")
         if name not in detail:
-            args = e.get("args", {}) or {}
-            detail[name] = str(
-                args.get("long_name") or args.get("tf_op")
-                or args.get("source") or "")[:160]
+            detail[name] = meta[:160]
+        # phase attribution via jax.named_scope tags in the op path
+        phase = "other"
+        for p in ("sort", "interp", "push", "emit", "boundary", "jf",
+                  "field"):
+            if f"phase_{p}" in meta or f"phase_{p}" in name:
+                phase = p
+                break
+        else:
+            if "sort" in name:
+                phase = "sort"
+            elif "pallas" in name or "fused" in name:
+                phase = "push"
+        by_phase[phase] += dur
+
+    print(f"\n== per-phase (named_scope) breakdown ==")
+    print(f"{'phase':>10} {'ms/step':>9} {'%':>6}")
+    for p, ms in sorted(by_phase.items(), key=lambda kv: -kv[1]):
+        print(f"{p:>10} {ms/steps:9.2f} {100*ms/total_dev:6.1f}")
+    print()
 
     rows = sorted(by_name.items(), key=lambda kv: -kv[1])[:50]
     print(f"{'ms_total':>9} {'ms/step':>8} {'n':>6}  name")

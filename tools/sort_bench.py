@@ -73,8 +73,40 @@ def main():
     def multi_operand_unstable(key, *cols):
         return jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
 
+    @jax.jit
+    def multi_operand_7(key, *cols):
+        return jax.lax.sort((key,) + cols[:6], num_keys=1, is_stable=True)
+
+    def oddeven_passes(npass, blk=65536):
+        """npass rounds of block-pair odd-even merge: vmapped sorts of
+        adjacent 2*blk chunks (offset alternates blk).  Restores bounded
+        disorder at ~log^2(2*blk)/log^2(n) the cost of a full sort."""
+
+        @jax.jit
+        def f(key, *cols):
+            ops = (key,) + cols
+            m = key.shape[0]
+            for p in range(npass):
+                off = blk if p % 2 else 0
+                nseg = (m - off) // (2 * blk)
+                if nseg == 0:
+                    continue
+                lo, hi = off, off + nseg * 2 * blk
+                segs = tuple(o[lo:hi].reshape(nseg, 2 * blk) for o in ops)
+                sorted_segs = jax.vmap(
+                    lambda *s: jax.lax.sort(s, num_keys=1, is_stable=True)
+                )(*segs)
+                ops = tuple(
+                    jax.lax.concatenate(
+                        [o[:lo], ss.reshape(-1), o[hi:]], 0)
+                    for o, ss in zip(ops, sorted_segs))
+            return ops
+
+        return f
+
     timeit("lax.sort 9 operands (current)", multi_operand, key, *cols)
     timeit("lax.sort 9 op UNSTABLE", multi_operand_unstable, key, *cols)
+    timeit("lax.sort 7 operands", multi_operand_7, key, *cols)
     timeit("argsort + packed row-gather", argsort_gather_packed, key, *cols)
     timeit("argsort + 8 col gathers", argsort_gather_cols, key, *cols)
     timeit("argsort alone (key+iota)", key_iota_only, key)
@@ -82,10 +114,13 @@ def main():
     timeit("NEAR lax.sort 9 operands", multi_operand, key_near, *cols)
     timeit("NEAR lax.sort 9 op UNSTABLE", multi_operand_unstable,
            key_near, *cols)
-    timeit("NEAR argsort + packed row-gather", argsort_gather_packed,
+    timeit("NEAR oddeven x2 64k", oddeven_passes(2), key_near, *cols)
+    timeit("NEAR oddeven x2 128k", oddeven_passes(2, 131072),
            key_near, *cols)
-    timeit("NEAR argsort + 8 col gathers", argsort_gather_cols,
-           key_near, *cols)
+    o = timeit("NEAR oddeven x3 64k", oddeven_passes(3), key_near, *cols)
+    k2 = np.asarray(o[0])
+    print(f"  oddeven x3 unsorted frac: "
+          f"{np.mean(k2[1:] < k2[:-1]):.2e}")
 
 
 if __name__ == "__main__":

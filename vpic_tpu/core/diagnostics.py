@@ -84,27 +84,59 @@ def time_phases(sim, n_steps: int = 3) -> dict:
     nb = st.grid_arrays.neighbor
     out = {}
 
+    def barrier(r):
+        # a device->host scalar fetch is the only reliable barrier over
+        # remote/tunneled backends (block_until_ready can return early)
+        import numpy as _np
+        leaves = [x for x in jax.tree.leaves(r)
+                  if hasattr(x, "dtype") and not jax.dtypes.issubdtype(
+                      x.dtype, jax.dtypes.prng_key)]
+        if leaves:
+            _np.asarray(jax.tree.leaves(leaves[-1])[0]).ravel()[:1]
+
     def timed(name, fn, *args):
         r = fn(*args)
-        jax.block_until_ready(r)
+        barrier(r)
         t0 = time.perf_counter()
         for _ in range(n_steps):
             r = fn(*args)
-        jax.block_until_ready(r)
+        barrier(r)
         out[name] = (time.perf_counter() - t0) / n_steps
         return r
 
+    # mirror the production step's path selection (engine/step.py)
+    import os
+    fused = not (jax.default_backend() == "cpu"
+                 or os.environ.get("VPIC_TPU_DISABLE_PALLAS"))
+    n_axes = (g.gnx > 1) + (g.gny > 1) + (g.gnz > 1)
+    n_walk = min(4, n_axes + 1)
+
     acc0 = jnp.zeros((g.nv, 12), jnp.float32)
+    interp_t = None
+    if fused:
+        interp_t = timed("make_interp_t", jax.jit(
+            lambda ip: ppush.make_interp_t(ip, g,
+                                           exc_t=st.grid_arrays.exc_t)),
+            st.interpolator)
     for sp in st.species:
-        timed(f"sort[{sp.name}]", jax.jit(paux.sort_p), sp)
+        timed(f"sort[{sp.name}]",
+              jax.jit(lambda s: paux.sort_p(s, g)), sp)
         timed(f"advance_p[{sp.name}]",
-              jax.jit(lambda s, a: ppush.advance_p(
-                  s, st.interpolator, a, nb, g)), sp, acc0)
+              jax.jit(lambda s, a, it: ppush.advance_p(
+                  s, st.interpolator, a, nb, g, n_walk=n_walk,
+                  sorted_deposit=fused, fused=fused, interp_t=it)),
+              sp, acc0, interp_t)
     timed("advance_b", jax.jit(lambda f: stencil.advance_b(f, g, 0.5)),
           st.field)
     timed("advance_e", jax.jit(lambda f: stencil.advance_e(
         f, g, st.materials, st.material_grid, sim.comm)), st.field)
     timed("synchronize_jf",
           jax.jit(lambda f: sync.synchronize_jf(f, g, sim.comm)), st.field)
+    from ..sf import interp as sfi
+    timed("load_interpolator",
+          jax.jit(lambda f: sfi.load_interpolator(f, g)), st.field)
+    timed("unload_accumulator",
+          jax.jit(lambda f, a: sfi.unload_accumulator(f, a, g)),
+          st.field, acc0)
     timed("full_step", sim._advance_fn, st)
     return out

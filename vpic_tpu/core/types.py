@@ -337,7 +337,8 @@ class MaterialTable:
 # ---------------------------------------------------------------------------
 
 
-@register_dataclass(meta=("name", "sid", "max_np", "sort_interval"))
+@register_dataclass(meta=("name", "sid", "max_np", "sort_interval",
+                          "has_tags", "uniform_q"))
 @dataclasses.dataclass
 class SpeciesState:
     """One particle species (SoA, fixed capacity).
@@ -377,9 +378,18 @@ class SpeciesState:
     # 0 for untagged particles)
     tag: jax.Array
 
+    # Static sort-payload hints, set at finalize time (deck/api.py):
+    # has_tags=False means every tag is (and stays) 0, so sort_p need not
+    # carry the tag column; uniform_q=True means all live particles share
+    # one charge-weight (and nothing injects differing weights), so sort_p
+    # reconstructs q from a single scalar instead of permuting the column.
+    has_tags: bool = True
+    uniform_q: bool = False
+
     @classmethod
     def create(cls, name: str, sid: int, q_m: float, max_np: int,
-               sort_interval: int = 0) -> "SpeciesState":
+               sort_interval: int = 0, has_tags: bool = True,
+               uniform_q: bool = False) -> "SpeciesState":
         zf = jnp.zeros((max_np,), dtype=jnp.float32)
         zi = jnp.zeros((max_np,), dtype=jnp.int32)
         return cls(
@@ -387,6 +397,7 @@ class SpeciesState:
             q_m=jnp.float32(q_m), np=jnp.int32(0), nm=jnp.int32(0),
             dx=zf, dy=zf, dz=zf, i=zi, ux=zf, uy=zf, uz=zf, q=zf,
             mdx=zf, mdy=zf, mdz=zf, pc=zi, tag=zi,
+            has_tags=has_tags, uniform_q=uniform_q,
         )
 
     def replace(self, **kw) -> "SpeciesState":

@@ -427,9 +427,22 @@ class Simulation:
 
         species = []
         rhob_batches = []
+        emit_sids = {e.sid for e in self._emitters}
         for h in self._species:
+            # Static sort-payload hints (must be identical across shards):
+            # tags ride the sort only if some injection tagged a tracer;
+            # q is carried only if weights vary or an emitter (which
+            # computes per-slot q_emit) can inject into this species.
+            has_tags = any(bool(np.any(b["tag"] != 0))
+                           for b in h["batches"])
+            qs = (np.concatenate([b["q"].astype(np.float32)
+                                  for b in h["batches"]])
+                  if h["batches"] else np.zeros(0, np.float32))
+            uniform_q = (h["sid"] not in emit_sids
+                         and np.unique(qs).size <= 1)
             sp = SpeciesState.create(h["name"], h["sid"], h["q_m"],
-                                     h["max_np"], h["sort_interval"])
+                                     h["max_np"], h["sort_interval"],
+                                     has_tags=has_tags, uniform_q=uniform_q)
             cols = {k: [] for k in ("dx", "dy", "dz", "i", "ux", "uy",
                                     "uz", "q", "tag")}
             total = 0

@@ -182,6 +182,7 @@ def make_advance(
         # the fused kernel on a tiled grid wants tiled-key ordering
         sort_fn = ((lambda s: paux.sort_p(s, g)) if fused_push
                    else paux.sort_p)
+        scope = jax.named_scope
         species = []
         for sp in state.species:
             if sorted_deposit:
@@ -192,10 +193,12 @@ def make_advance(
                 # current (deposit_sorted_into caps overflow).  Sort every
                 # step unless the fused path is active.
                 if do_sort or not fused_push:
-                    sp = sort_fn(sp)
+                    with scope("phase_sort"):
+                        sp = sort_fn(sp)
             elif sp.sort_interval > 0:
                 hit = (state.step % sp.sort_interval) == 0
-                sp = lax.cond(hit, sort_fn, lambda s: s, sp)
+                with scope("phase_sort"):
+                    sp = lax.cond(hit, sort_fn, lambda s: s, sp)
             species.append(sp)
 
         state = dataclasses.replace(state, species=tuple(species))
@@ -203,9 +206,10 @@ def make_advance(
             state = user_particle_collisions(state)
 
         # -- particle push + current deposition --
-        interp_t = (ppush.make_interp_t(state.interpolator, g,
-                                        exc_t=state.grid_arrays.exc_t)
-                    if fused_push else None)
+        with scope("phase_interp"):
+            interp_t = (ppush.make_interp_t(state.interpolator, g,
+                                            exc_t=state.grid_arrays.exc_t)
+                        if fused_push else None)
         species = []
         for sp in state.species:
             fix_cap = opts.fix_cap
@@ -216,17 +220,20 @@ def make_advance(
                 k = opts.resort_interval
                 frac = 256 if k <= 1 else (128 if k <= 2 else 24)
                 fix_cap = max(8192, sp.max_np // frac)
-            sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb, g,
-                                      n_walk=n_walk,
-                                      sorted_deposit=sorted_deposit,
-                                      fused=fused_push, interp_t=interp_t,
-                                      fix_cap=fix_cap)
+            with scope("phase_push"):
+                sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb,
+                                          g, n_walk=n_walk,
+                                          sorted_deposit=sorted_deposit,
+                                          fused=fused_push,
+                                          interp_t=interp_t,
+                                          fix_cap=fix_cap)
             species.append(sp)
         state = dataclasses.replace(state, species=tuple(species))
 
         # -- emission + user injection --
         for emitter in emitters:
-            state, acc, f = emitter(state, acc, f)
+            with scope("phase_emit"):
+                state, acc, f = emitter(state, acc, f)
         if user_particle_injection is not None:
             state = user_particle_injection(state)
 
@@ -244,10 +251,11 @@ def make_advance(
                 species = []
                 for sp in state.species:
                     key, k2 = jax.random.split(key)
-                    sp, f, acc, bstate = pboundary.process_boundary(
-                        sp, f, acc, nb, g, pcomm, opts.max_inj, n_walk,
-                        handlers=boundary_handlers, bstate=bstate, key=k2,
-                        step=state.step, mig_cap=opts.mig_cap)
+                    with scope("phase_boundary"):
+                        sp, f, acc, bstate = pboundary.process_boundary(
+                            sp, f, acc, nb, g, pcomm, opts.max_inj, n_walk,
+                            handlers=boundary_handlers, bstate=bstate,
+                            key=k2, step=state.step, mig_cap=opts.mig_cap)
                     species.append(sp)
                 state = dataclasses.replace(state, species=tuple(species))
             state = dataclasses.replace(state, boundary_state=bstate)
@@ -257,10 +265,11 @@ def make_advance(
                               for sp in state.species))
 
         # -- currents -> fields --
-        f = sfi.clear_jf(f, g)
-        if state.species:
-            f = sfi.unload_accumulator(f, acc, g)
-        f = sync.synchronize_jf(f, g, comm)
+        with scope("phase_jf"):
+            f = sfi.clear_jf(f, g)
+            if state.species:
+                f = sfi.unload_accumulator(f, acc, g)
+            f = sync.synchronize_jf(f, g, comm)
 
         state = dataclasses.replace(state, field=f)
         if user_current_injection is not None:
@@ -268,14 +277,16 @@ def make_advance(
         f = state.field
 
         # -- field advance --
-        f = stencil.advance_b(f, g, 0.5)
-        f = stencil.advance_e(f, g, state.materials, state.material_grid,
-                              comm)
+        with scope("phase_field"):
+            f = stencil.advance_b(f, g, 0.5)
+            f = stencil.advance_e(f, g, state.materials,
+                                  state.material_grid, comm)
         state = dataclasses.replace(state, field=f)
         if user_field_injection is not None:
             state = user_field_injection(state)
         f = state.field
-        f = stencil.advance_b(f, g, 0.5)
+        with scope("phase_field"):
+            f = stencil.advance_b(f, g, 0.5)
         state = dataclasses.replace(state, field=f)
 
         # -- divergence cleaning / face sync on intervals --
@@ -297,7 +308,8 @@ def make_advance(
         # -- interpolator for the next step --
         interp = state.interpolator
         if state.species:
-            interp = sfi.load_interpolator(state.field, g)
+            with scope("phase_interp"):
+                interp = sfi.load_interpolator(state.field, g)
 
         return dataclasses.replace(
             state, interpolator=interp, step=state.step + 1)

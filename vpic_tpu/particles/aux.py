@@ -159,28 +159,52 @@ def sort_p(sp: SpeciesState, g: Grid | None = None) -> SpeciesState:
     so kernel blocks see monotone tiled windows."""
     big = jnp.int32(2 ** 30)
     key_src = sp.i
+    tiled = False
     if g is not None:
         from . import push_pallas as pk
         if pk.use_tiled(g):
             key_src = pk.tvox_of(g, jnp.maximum(sp.i, 0))
+            tiled = True
     key = jnp.where(sp.alive, key_src, big)
-    if key_src is sp.i:
-        key, dx, dy, dz, ux, uy, uz, q, tag = jax.lax.sort(
-            (key, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q, sp.tag),
-            num_keys=1, is_stable=True)
-        vox = key
+
+    # The bitonic network's cost is ~linear in payload columns, so carry
+    # only what the species actually needs: tag is dropped when no tracer
+    # was ever tagged (all-zero column is permutation-invariant), q is
+    # reconstructed from one scalar when the weight is uniform, and in the
+    # tiled-x layout the voxel is recomputed arithmetically from the sorted
+    # tiled key instead of riding along as a column.
+    cols = [sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz]
+    if not sp.uniform_q:
+        cols.append(sp.q)
+    if sp.has_tags:
+        cols.append(sp.tag)
+    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=True)
+    key_s = out[0]
+    dx, dy, dz, ux, uy, uz = out[1:7]
+    rest = list(out[7:])
+    q = sp.q if sp.uniform_q else rest.pop(0)
+    tag = rest.pop(0) if sp.has_tags else sp.tag
+
+    if tiled:
+        from . import push_pallas as pk
+        vox = pk.vox_of_t(g, jnp.minimum(key_s, big - 1))
     else:
-        key, vox, dx, dy, dz, ux, uy, uz, q, tag = jax.lax.sort(
-            (key, sp.i, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.q,
-             sp.tag),
-            num_keys=1, is_stable=True)
+        vox = key_s
     live = jnp.sum(sp.alive).astype(jnp.int32)
     in_range = jnp.arange(sp.max_np, dtype=jnp.int32) < live
+
+    if sp.uniform_q:
+        # any live lane's weight (exact; zombies may carry 0 or the same
+        # uniform value, argmax |q| lands on a live lane whenever one exists)
+        qv = sp.q[jnp.argmax(jnp.abs(sp.q))]
+        q_out = jnp.where(in_range, qv, 0.0)
+    else:
+        q_out = jnp.where(in_range, q, 0.0)
 
     return sp.replace(
         np=live,
         dx=dx, dy=dy, dz=dz,
         i=jnp.where(in_range, vox, 0),
-        ux=ux, uy=uy, uz=uz, q=jnp.where(in_range, q, 0.0),
-        tag=jnp.where(in_range, tag, 0),
+        ux=ux, uy=uy, uz=uz, q=q_out,
+        tag=tag if not sp.has_tags else jnp.where(in_range, tag, 0),
     )
