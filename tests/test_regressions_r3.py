@@ -166,3 +166,32 @@ def test_dropped_movers_warn():
     logged = []
     sim.warn_dropped_movers(log=logged.append)
     assert logged and "unprocessed movers" in logged[0]
+
+
+def test_sigma_deck_relativistic_walls(monkeypatch):
+    """The sigma deck (conductive walls + relativistic 0.6c load) runs
+    without dropping a single mover: exercises the >=0 streak-fraction
+    clamp (a reflected lane 1 ulp outside its face must not walk
+    backward), the while_loop streak walker (flat-axis wraps of fast
+    lanes need more than n_axes+1 segments), and the max_np//2 mover
+    buffer (sigma.cxx:474-523 load crosses faces at ~0.5/step)."""
+    monkeypatch.setenv("SIGMA_NX", "32")
+    monkeypatch.setenv("SIGMA_NZ", "16")
+    monkeypatch.setenv("SIGMA_PPC", "8")
+    import importlib
+    import decks.sigma as sigma
+    importlib.reload(sigma)
+    sim = sigma.deck()
+    sim.finalize()
+    tot0 = sum(sim.energies().values())
+    sim.advance(25)
+    e1 = sim.energies()
+    assert all(np.isfinite(v) for v in e1.values())
+    # energy conserved to fp32 PIC tolerance over 25 steps
+    assert abs(sum(e1.values()) - tot0) / tot0 < 5e-3
+    # every mover serviced: no silent charge loss at the walls
+    assert all(c == 0 for c in sim.mover_counts().values())
+    # reflecting z walls keep every particle inside the box
+    for sp in sim.state.species:
+        alive = np.asarray(sp.i) >= 0
+        assert np.asarray(sp.i)[alive].max() < sim.grid.nv

@@ -53,13 +53,20 @@ def main():
         trace = json.load(fh)
     events = trace["traceEvents"]
 
-    # find device-thread pids (TensorCore tracks)
+    # restrict to the leaf-op track ("XLA Ops") of device processes —
+    # module-level tracks (jit_*, while bodies) would double-count
     device_pids = set()
+    op_tids = set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             name = e.get("args", {}).get("name", "")
-            if "TPU" in name or "/device:" in name or "XLA Op" in name:
+            if "TPU" in name or "/device:" in name:
                 device_pids.add(e["pid"])
+        if e.get("name") == "thread_name":
+            if e.get("args", {}).get("name") == "XLA Ops":
+                op_tids.add((e["pid"], e.get("tid")))
     by_name = defaultdict(float)
     by_phase = defaultdict(float)
     count = defaultdict(int)
@@ -69,6 +76,8 @@ def main():
         if e.get("ph") != "X":
             continue
         if device_pids and e.get("pid") not in device_pids:
+            continue
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "?")
         dur = e.get("dur", 0) / 1e3  # us -> ms

@@ -135,9 +135,13 @@ def make_advance(
 
     # under the Courant limit a particle crosses at most one face per
     # ACTIVE axis, so n_axes+1 streak segments always suffice (2D decks:
-    # 3 instead of 4 — one less in-kernel deposit matmul per row)
+    # 3 instead of 4 — one less in-kernel deposit matmul per row).
+    # Reflecting walls burn an extra zero-length segment when a lane
+    # lands exactly on the face, so wall decks get one more.
+    from ..core.types import NEIGHBOR_REFLECT as _REFL
     n_axes = (g.gnx > 1) + (g.gny > 1) + (g.gnz > 1)
-    n_walk = min(opts.n_walk, n_axes + 1)
+    has_refl = any(b == _REFL for b in g.pbc)
+    n_walk = min(opts.n_walk, n_axes + 1 + int(has_refl))
 
     sorted_deposit = opts.sorted_deposit
     if sorted_deposit is None:
@@ -216,9 +220,12 @@ def make_advance(
             if fix_cap is None:
                 # exports only (sorted every step) vs. drift accumulation:
                 # one unsorted step drifts at most one crossing, which the
-                # window bias absorbs; longer intervals spill out-of-window
+                # window bias absorbs; longer intervals spill out-of-window.
+                # Every fix lane costs ~15 compacted gathers, so the cap is
+                # sized to the export rate (overflow is counted in sp.nm
+                # and WARNed at status time, never silent).
                 k = opts.resort_interval
-                frac = 256 if k <= 1 else (128 if k <= 2 else 24)
+                frac = 256 if k <= 2 else 24
                 fix_cap = max(8192, sp.max_np // frac)
             with scope("phase_push"):
                 sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb,

@@ -182,8 +182,12 @@ def walk_segment(st: WalkState, neighbor, g):
     u = (st.ux, st.uy, st.uz)
 
     sdir = tuple(jnp.where(r > 0, one, -one) for r in rem)
+    # clamp to >= 0: a lane 1 ulp OUTSIDE its face (reflection/wrap
+    # rounding) would otherwise get a negative fraction and walk
+    # backward forever; 0 makes it a zero-length crossing that snaps the
+    # coordinate exactly onto the face
     frac2 = tuple(
-        jnp.where(r == 0, big, (d - p) / r)
+        jnp.where(r == 0, big, jnp.maximum((d - p) / r, 0.0))
         for r, d, p in zip(rem, sdir, pos))
     # sequential min with later-axis tie priority (move_p.c:59-62)
     v3 = jnp.full_like(st.q, 2.0)
@@ -254,18 +258,31 @@ def resolve_crossing(st: WalkState, pos, rem, u, pos_new, rem_new,
 
 
 def streak_walk(st: WalkState, acc, neighbor, g, n_iter: int):
-    """Run up to ``n_iter`` streak-split segments per particle, depositing
-    each segment's quadrant currents via scatter-add (move_p.c:34-134)."""
+    """Run streak-split segments until every lane finishes (or a generous
+    static bound trips), depositing each segment's quadrant currents via
+    scatter-add — move_p's unbounded while loop (move_p.c:34-134).
 
-    def body(_, carry):
-        st, acc = carry
+    ``n_iter`` sizes the guaranteed-sufficient interior budget (one face
+    event per active axis); flat-axis wraps of relativistic lanes (a 2D
+    deck's out-of-plane drift crosses its one-cell y axis several times,
+    each wrap a segment) extend past it, so the loop runs while any lane
+    is active up to ``4*n_iter + 8`` — beyond that lanes are dropped and
+    counted (advance.cxx:98-103 semantics)."""
+    cap = jnp.int32(4 * n_iter + 8)
+
+    def cond(carry):
+        i, st, _ = carry
+        return (i < cap) & jnp.any(st.active)
+
+    def body(carry):
+        i, st, acc = carry
         st, dep_vox, contrib = walk_segment(st, neighbor, g)
         acc = acc.at[dep_vox].add(jnp.stack(contrib, axis=-1),
                                   mode="promise_in_bounds")
-        return st, acc
+        return i + 1, st, acc
 
-    st, acc = jax.lax.fori_loop(0, n_iter, body, (st, acc), unroll=True)
-    # anything still active exhausted its iterations
+    _, st, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), st, acc))
+    # anything still active exhausted the bound
     pcode = jnp.where(st.active, jnp.int32(PC_EXHAUSTED), st.pcode)
     return st._replace(pcode=pcode, active=jnp.zeros_like(st.active)), acc
 
@@ -285,7 +302,10 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     results merge back by gather (cheaper than scatter on TPU).
     """
     if max_nm is None:
-        max_nm = max(1, sp.max_np // 8)
+        # sized for relativistic decks (v ~ c near the Courant limit can
+        # cross a face for half the particles per step); overflow is
+        # dropped+counted in sp.nm (advance.cxx:98-103 semantics)
+        max_nm = max(1, sp.max_np // 2)
     max_nm = min(max_nm, sp.max_np)
 
     qdt_2mc = (0.5 * sp.q_m * g.dt / g.cvac).astype(jnp.float32)
@@ -599,43 +619,47 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     expt = pout[pk.PEXPT] > 0.5
     fix = alive & (expt | ~in_win)
 
-    # kernel-finished lanes (the overwhelming majority) are final
-    dx = jnp.where(alive, pout[pk.PX], sp.dx)
-    dy = jnp.where(alive, pout[pk.PY], sp.dy)
-    dz = jnp.where(alive, pout[pk.PZ], sp.dz)
-    uxo = jnp.where(alive, pout[pk.PUX], sp.ux)
-    uyo = jnp.where(alive, pout[pk.PUY], sp.uy)
-    uzo = jnp.where(alive, pout[pk.PUZ], sp.uz)
+    # kernel-finished lanes (the overwhelming majority) are final.  Dead
+    # slots take the kernel passthrough values too (q=0/vox=0 zombies walk
+    # nowhere; every injection path overwrites all columns) — masking them
+    # with where(alive, ...) would cost one full-column select per field.
+    dx, dy, dz = pout[pk.PX], pout[pk.PY], pout[pk.PZ]
+    uxo, uyo, uzo = pout[pk.PUX], pout[pk.PUY], pout[pk.PUZ]
     kvox = (pout[pk.PVOX] + 0.5).astype(jnp.int32)
     if tiled:
         kvox = pk.vox_of_t(g, jnp.clip(kvox, 0, nvk - 1))
     # out-of-window lanes were never pushed (kernel passthrough leaves
-    # PVOX = start - 1, a garbage voxel); they keep their original voxel
-    # so that lanes dropped from an overflowing fix-up buffer stay valid
+    # PVOX = start - 1, a garbage voxel); they keep their original voxel —
+    # as do dead slots (zombies carry i < 0, which `alive` relies on)
     vox_o = jnp.where(alive & in_win, kvox, sp.i)
 
     # ---- compacted fix-up buffer ----
+    # The kernel passes out-of-window lanes straight through, so the pout
+    # rows already hold the ORIGINAL pre-push state for redo lanes and the
+    # frozen mid-walk state for exports: one compacted gather per quantity
+    # covers both cases (no per-column sp.* gathers).
     sel, n_fix, valid = compact_indices_hier(fix, K, max_np)
     safe = jnp.where(valid, sel, 0)
     redo = valid & ~in_win[safe]          # never pushed (sort drift)
 
+    px_f, py_f, pz_f = dx[safe], dy[safe], dz[safe]
+    ux_f, uy_f, uz_f = uxo[safe], uyo[safe], uzo[safe]
+    vox_f = vox_o[safe]     # redo -> original voxel, export -> kernel voxel
+
     # out-of-window lanes redo the full push from their original state
-    ipr = interp[jnp.where(redo, sp.i[safe], 0)]
+    ipr = interp[jnp.where(redo, jnp.maximum(vox_f, 0), 0)]
     rux, ruy, ruz, rrx, rry, rrz = _push_math(
-        ipr, sp.dx[safe], sp.dy[safe], sp.dz[safe],
-        sp.ux[safe], sp.uy[safe], sp.uz[safe], qdt_2mc, cdt)
+        ipr, px_f, py_f, pz_f, ux_f, uy_f, uz_f, qdt_2mc, cdt)
 
     def mix(r, b):
         return jnp.where(redo, r, b)
 
     st_in = WalkState(
-        x=mix(sp.dx[safe], pout[pk.PX][safe]),
-        y=mix(sp.dy[safe], pout[pk.PY][safe]),
-        z=mix(sp.dz[safe], pout[pk.PZ][safe]),
-        vox=jnp.where(redo, sp.i[safe], kvox[safe]),
-        ux=mix(rux, pout[pk.PUX][safe]),
-        uy=mix(ruy, pout[pk.PUY][safe]),
-        uz=mix(ruz, pout[pk.PUZ][safe]),
+        x=px_f, y=py_f, z=pz_f,
+        vox=vox_f,
+        ux=mix(rux, ux_f),
+        uy=mix(ruy, uy_f),
+        uz=mix(ruz, uz_f),
         rx=mix(rrx, pout[pk.PRX][safe]),
         ry=mix(rry, pout[pk.PRY][safe]),
         rz=mix(rrz, pout[pk.PRZ][safe]),

@@ -322,7 +322,11 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
             (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
              po, pr, ptype, pdir, pexpt, ploc) = carry
             sdir = tuple(jnp.where(rr > 0, one, -one) for rr in rem)
-            frac = tuple(jnp.where(rr == 0, big, (dd - pp) / rr)
+            # clamped >= 0: a lane 1 ulp outside its face would get a
+            # negative fraction and walk backward (see push.walk_segment)
+            frac = tuple(jnp.where(rr == 0, big,
+                                   jnp.maximum((dd - pp) / rr,
+                                               jnp.float32(0.0)))
                          for rr, dd, pp in zip(rem, sdir, pos))
             t3 = jnp.full_like(frac[0], 2.0)
             stype = jnp.full_like(loc_cur, 3)
