@@ -21,7 +21,7 @@ def main():
     npart = int(os.environ.get("BENCH_NPART", 4_000_000))
     nx = int(os.environ.get("BENCH_NX", 128))
     ny = int(os.environ.get("BENCH_NY", 128))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 16))
     resort = int(os.environ.get("BENCH_RESORT", 2))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -30,14 +30,22 @@ def main():
     sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2,  # 2 species
                  resort_interval=resort)
 
-    # warmup / compile (two steps: the sorting and non-sorting advance
-    # variants are separate executables when resort_interval > 1)
-    sim.advance(2)
+    # The per-species sort cadence repeats every cycle_mult resort cycles
+    # (A cycle: all species sort; B cycles: fast species only).  Round the
+    # timed window to whole super-cycles and start it on a super-cycle
+    # boundary so (a) the measured mix of A/B cycles is the steady-state
+    # mix and (b) the warmup pass compiles the exact dispatch shapes the
+    # timed pass replays.
+    period = resort * getattr(sim, "_cycle_mult", 1)
+    steps = max(period, (steps // period) * period)
+
+    # warmup / compile: one super-cycle covers every executable (sorting,
+    # non-sorting, B-cycle, B-run scan), then a dry pass at the timed
+    # length compiles its scan decomposition
+    sim.advance(period)
     # a scalar device->host fetch is the reliable barrier over the
     # tunneled backend (block_until_ready can return early there)
     int(np.asarray(sim.state.species[0].np))
-    # warm the multi-cycle lax.scan executable for the exact timed count
-    # (advance(steps) from an aligned step compiles a per-m scan program)
     sim.advance(steps)
     int(np.asarray(sim.state.species[0].np))
 

@@ -195,3 +195,48 @@ def test_sigma_deck_relativistic_walls(monkeypatch):
     for sp in sim.state.species:
         alive = np.asarray(sp.i) >= 0
         assert np.asarray(sp.i)[alive].max() < sim.grid.nv
+
+
+def test_per_species_sort_cadence_dispatch():
+    """advance() must dispatch the per-species sort-cadence pattern
+    correctly: an A cycle (all species sort) every cycle_mult resort
+    cycles, B cycles between (scanned in runs), and exact step
+    accounting across misaligned remainders."""
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _build
+
+    sim = _build(nx=8, ny=8, nz=1, npart=256)
+    k = sim.opts.resort_interval
+    assert k == 2
+    calls = []
+
+    def rec(tag):
+        def fn(state):
+            calls.append(tag)
+            return state
+        return fn
+
+    sim._cycle_mult = 4
+    sim._advance_cycle = rec("A")
+    sim._advance_cycle_b = rec("B")
+    sim._cycles_scan = lambda m: rec(f"SA{m}")
+    sim._cycles_scan_b = lambda m: rec(f"SB{m}")
+    sim._advance_fn = rec("s")
+    sim._advance_fn_nosort = rec("n")
+
+    sim.step_count = 0
+    sim.advance(24)
+    assert calls == ["A", "SB3", "A", "SB3", "A", "SB3"]
+    assert sim.step_count == 24
+
+    calls.clear()
+    sim.step_count = 0
+    sim.advance(5)           # A(2) + B(2) + one aligned single step
+    assert calls == ["A", "B", "s"]
+    assert sim.step_count == 5
+
+    calls.clear()
+    sim.advance(5)           # nosort single to align, B, then A boundary
+    assert calls == ["n", "B", "A"]
+    assert sim.step_count == 10

@@ -80,6 +80,9 @@ def main():
         if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "?")
+        # module/scan-level envelope events duplicate their leaf ops
+        if name.startswith(("jit_", "while", "body", "cond")):
+            continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
         by_name[name] += dur
         count[name] += 1

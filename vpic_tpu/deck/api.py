@@ -543,6 +543,8 @@ class Simulation:
         costs a host round trip comparable to the step itself); a single
         k-step executable amortizes it."""
         k = self.opts.resort_interval
+        self._cycle_mult = 1
+        self._advance_cycle_b = None
         if k <= 1 or g.is_multishard:
             self._advance_cycle = None
             return
@@ -565,6 +567,43 @@ class Simulation:
         self._advance_cycle = jax.jit(cycle, donate_argnums=0)
         self._cycles_scan_cache = {}
 
+        # Per-species sort cadence (species_advance.h:56 sort_interval):
+        # a species with sort_interval > resort_interval sorts only on
+        # every mult-th cycle.  The sort is ~half the sorting step's
+        # device time and slow/heavy species tolerate long intervals (the
+        # fused kernel's window bias + fix-up absorb the drift), so
+        # cycles come in two flavors: A (all species sort, every
+        # cycle_mult-th cycle) and B (only base-interval species sort).
+        # Only meaningful when the fused kernel runs (elsewhere the B
+        # variant degenerates to A and is skipped).
+        import os as _os
+        fused = self.opts.fused_push
+        if fused is None:
+            from ..particles.push_pallas import fused_vmem_ok
+            fused = fused_vmem_ok(g.nv, g.nxg)
+        if (jax.default_backend() == "cpu"
+                or _os.environ.get("VPIC_TPU_DISABLE_PALLAS")):
+            fused = False
+        mults = [max(1, -(-h["sort_interval"] // k))
+                 if h["sort_interval"] > k else 1 for h in self._species]
+        M = max(mults, default=1)
+        if fused and M > 1:
+            flags = tuple(m == 1 for m in mults)
+            adv_b = make_advance(
+                g, self.comm, pcomm=None, opts=self.opts,
+                boundary_handlers=tuple(self._boundary_handlers),
+                emitters=tuple(self._emitters), do_sort=flags, **hooks)
+
+            def cycle_b(state):
+                state = adv_b(state)
+                for _ in range(k - 1):
+                    state = adv_n(state)
+                return state
+
+            self._cycle_mult = M
+            self._cycle_body_b = cycle_b
+            self._advance_cycle_b = jax.jit(cycle_b, donate_argnums=0)
+
     def _cycles_scan(self, m: int):
         """One executable running ``m`` resort cycles via ``lax.scan`` —
         a single dispatch (and a single XLA program) instead of ``m``,
@@ -583,18 +622,47 @@ class Simulation:
             fn = self._cycles_scan_cache[m] = jax.jit(run, donate_argnums=0)
         return fn
 
+    def _cycles_scan_b(self, m: int):
+        """Like ``_cycles_scan`` but over the B (base-species-only sort)
+        cycle body — the run between two A cycles of the per-species
+        sort-cadence pattern."""
+        fn = self._cycles_scan_cache.get(("b", m))
+        if fn is None:
+            cyc = self._cycle_body_b
+
+            def run(state):
+                return jax.lax.scan(lambda s, _: (cyc(s), None), state,
+                                    None, length=m)[0]
+
+            fn = self._cycles_scan_cache[("b", m)] = jax.jit(
+                run, donate_argnums=0)
+        return fn
+
     def advance(self, n=1):
         k = self.opts.resort_interval
         left = n
         while left > 0:
             if (getattr(self, "_advance_cycle", None) is not None
                     and left >= k and self.step_count % k == 0):
-                m = left // k
-                if m >= 2:
-                    self.state = self._cycles_scan(m)(self.state)
+                M = getattr(self, "_cycle_mult", 1)
+                c = self.step_count // k
+                if M > 1 and c % M != 0:
+                    # B cycles up to the next all-sort (A) boundary
+                    m = min(left // k, M - (c % M))
+                    if m >= 2:
+                        self.state = self._cycles_scan_b(m)(self.state)
+                    else:
+                        self.state = self._advance_cycle_b(self.state)
                     self.step_count += m * k
                     left -= m * k
                     continue
+                if M == 1:
+                    m = left // k
+                    if m >= 2:
+                        self.state = self._cycles_scan(m)(self.state)
+                        self.step_count += m * k
+                        left -= m * k
+                        continue
                 self.state = self._advance_cycle(self.state)
                 self.step_count += k
                 left -= k

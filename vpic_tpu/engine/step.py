@@ -126,7 +126,7 @@ def make_advance(
     user_field_injection: Optional[Callable] = None,
     emitters: tuple = (),
     boundary_handlers: tuple = (),
-    do_sort: bool = True,
+    do_sort=True,
 ):
     """Build the (jittable) advance function for a fixed configuration.
     The ``user_*`` hooks are jax-traceable callbacks
@@ -188,7 +188,12 @@ def make_advance(
                    else paux.sort_p)
         scope = jax.named_scope
         species = []
-        for sp in state.species:
+        for si, sp in enumerate(state.species):
+            # per-species sort flag: the sort is ~half the sorting step's
+            # device time, and slow species tolerate long intervals (the
+            # reference's per-species sort_interval, species_advance.h:56;
+            # production decks sort ions ~5-10x less often than electrons)
+            ds = do_sort if isinstance(do_sort, bool) else do_sort[si]
             if sorted_deposit:
                 # Only the FUSED kernel tolerates inter-sort drift (its
                 # window pre-bias + out-of-window fix-up); the sorted-but-
@@ -196,7 +201,7 @@ def make_advance(
                 # sort there would silently drop drifted particles'
                 # current (deposit_sorted_into caps overflow).  Sort every
                 # step unless the fused path is active.
-                if do_sort or not fused_push:
+                if ds or not fused_push:
                     with scope("phase_sort"):
                         sp = sort_fn(sp)
             elif sp.sort_interval > 0:
@@ -223,9 +228,12 @@ def make_advance(
                 # window bias absorbs; longer intervals spill out-of-window.
                 # Every fix lane costs ~15 compacted gathers, so the cap is
                 # sized to the export rate (overflow is counted in sp.nm
-                # and WARNed at status time, never silent).
+                # and WARNed at status time, never silent).  A species with
+                # its own longer sort_interval drifts for that many steps.
                 k = opts.resort_interval
-                frac = 256 if k <= 2 else 24
+                if fused_push and sp.sort_interval > k:
+                    k = sp.sort_interval
+                frac = 256 if k <= 2 else (96 if k <= 8 else 24)
                 fix_cap = max(8192, sp.max_np // frac)
             with scope("phase_push"):
                 sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb,
