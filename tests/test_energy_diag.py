@@ -82,3 +82,29 @@ def test_fan_deck_builds_and_steps(monkeypatch, tmp_path):
     out = sim.dump_energy_diag("electron", tmp_path, nex=10, emax=100.0,
                                vth=0.1)
     assert out and all(p.exists() for pair in out for p in pair)
+
+
+def test_turbulence_deck_builds_and_steps(monkeypatch, tmp_path):
+    """The trecon turbulence deck (split top/bottom species + wave-seeded
+    force-free sheet + conductive walls, turbulence.cxx analogue)
+    initializes and advances with every mover serviced."""
+    monkeypatch.setenv("TURB_NX", "16")
+    monkeypatch.setenv("TURB_NY", "8")
+    monkeypatch.setenv("TURB_NZ", "8")
+    monkeypatch.setenv("TURB_PPC", "4")
+    import importlib
+    import decks.turbulence as turb
+    importlib.reload(turb)
+    sim = turb.deck()
+    sim.finalize()
+    tot0 = sum(sim.energies().values())
+    sim.advance(10)
+    e1 = sim.energies()
+    assert all(np.isfinite(v) for v in e1.values())
+    assert abs(sum(e1.values()) - tot0) / tot0 < 2e-2
+    assert all(c == 0 for c in sim.mover_counts().values())
+    # all four bulk species carry particles (top/bottom split)
+    for sp in sim.state.species[:4]:
+        assert int(np.asarray(sp.np)) > 0
+    out = sim.dump_energy_diag("eT", tmp_path, nex=8, emax=50.0, vth=0.6)
+    assert out and all(p.exists() for pair in out for p in pair)
