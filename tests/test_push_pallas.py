@@ -235,3 +235,55 @@ def test_fused_unsorted_redo_path():
             rtol=1e-4, atol=2e-5, err_msg=c)
     np.testing.assert_allclose(np.asarray(acc_f), np.asarray(acc_ref),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_fused_tolerates_multistep_sort_drift():
+    """Per-species sort cadence lets a species go many steps between
+    sorts; the fused kernel must keep matching the unfused path while
+    the voxel order drifts (window pre-bias + out-of-window fix-up +
+    exports).  Runs 6 consecutive steps from one sorted state with NO
+    re-sorting on either path."""
+    if not _needs_cpu("test_fused_tolerates_multistep_sort_drift"):
+        return
+    g, rng, interp = mk()
+    ga = make_grid_arrays(g)
+    n, max_np = 300, 512
+    sp0 = mk_species(g, rng, n, max_np, hot=True)
+
+    KO = dict(block=256, window=256, pre=64, wide=True)
+    step_ref = jax.jit(lambda sp: ppush.advance_p(
+        sp, interp, jnp.zeros((g.nv, 12), jnp.float32), ga.neighbor, g,
+        n_walk=4, fused=False, max_nm=max_np))
+    step_f = jax.jit(lambda sp: ppush.advance_p(
+        sp, interp, jnp.zeros((g.nv, 12), jnp.float32), ga.neighbor, g,
+        n_walk=4, fused=True, kernel_opts=KO, fix_cap=max_np))
+
+    sp_r, sp_f = sp0, sp0
+    live = np.asarray(sp0.alive)
+    for step in range(6):
+        sp_r, acc_r = step_ref(sp_r)
+        # movers must be cleared between steps (finish_boundary's job;
+        # these tests run the bare kernel, so emulate a settled state)
+        sp_r = sp_r.replace(pc=jnp.zeros_like(sp_r.pc),
+                            mdx=jnp.zeros_like(sp_r.mdx),
+                            mdy=jnp.zeros_like(sp_r.mdy),
+                            mdz=jnp.zeros_like(sp_r.mdz),
+                            nm=jnp.int32(0))
+        with pltpu.force_tpu_interpret_mode():
+            sp_f, acc_f = step_f(sp_f)
+        sp_f = sp_f.replace(pc=jnp.zeros_like(sp_f.pc),
+                            mdx=jnp.zeros_like(sp_f.mdx),
+                            mdy=jnp.zeros_like(sp_f.mdy),
+                            mdz=jnp.zeros_like(sp_f.mdz),
+                            nm=jnp.int32(0))
+        np.testing.assert_array_equal(
+            np.asarray(sp_f.i)[live], np.asarray(sp_r.i)[live],
+            err_msg=f"vox step {step}")
+        for c in ("dx", "dy", "dz", "ux", "uy", "uz"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sp_f, c))[live],
+                np.asarray(getattr(sp_r, c))[live],
+                rtol=2e-4, atol=5e-5, err_msg=f"{c} step {step}")
+        np.testing.assert_allclose(np.asarray(acc_f), np.asarray(acc_r),
+                                   rtol=2e-4, atol=5e-5,
+                                   err_msg=f"acc step {step}")
