@@ -38,19 +38,23 @@ def main():
         if only and only not in (str(nx), f"{nx}x{ny}x{nz}"):
             continue
         sim = _build(nx=nx, ny=ny, nz=nz, npart=npart // 2)
-        # warm an even number of steps: from an even step_count an even
-        # timed region hits only the jitted resort-cycle executable
-        sim.advance(4)
+        # align warmup AND the timed region to whole super-cycles
+        # (resort_interval x cycle_mult) so the A/B sort-cadence mix is
+        # steady-state and every dispatch shape is pre-compiled
+        period = sim.opts.resort_interval * getattr(sim, "_cycle_mult", 1)
+        sim.advance(period)
         # scalar fetch = reliable barrier over the tunneled backend
         int(np.asarray(sim.state.species[0].np))
-        steps -= steps % 2
+        nst = max(period, (steps // period) * period)
+        sim.advance(nst)
+        int(np.asarray(sim.state.species[0].np))
         t0 = time.perf_counter()
-        sim.advance(steps)
+        sim.advance(nst)
         int(np.asarray(sim.state.species[0].np))
         dt = time.perf_counter() - t0
         total = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
-        pps = total * steps / dt
-        print(f"{total},{nx},{ny},{nz},{dt / steps * 1e3:.1f},"
+        pps = total * nst / dt
+        print(f"{total},{nx},{ny},{nz},{dt / nst * 1e3:.1f},"
               f"{pps:.3e},{pps / 7.8e6:.2f}", flush=True)
         del sim
 
