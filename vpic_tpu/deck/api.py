@@ -586,7 +586,11 @@ class Simulation:
             fused = False
         mults = [max(1, -(-h["sort_interval"] // k))
                  if h["sort_interval"] > k else 1 for h in self._species]
-        M = max(mults, default=1)
+        # Two cycle flavors support exactly two cadences {1, M}; with
+        # mixed multiples the SAFE clamp is the smallest one (species
+        # sort at least as often as asked — never less).
+        slow = [m for m in mults if m > 1]
+        M = min(slow) if slow else 1
         if fused and M > 1:
             flags = tuple(m == 1 for m in mults)
             adv_b = make_advance(
