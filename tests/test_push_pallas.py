@@ -287,3 +287,54 @@ def test_fused_tolerates_multistep_sort_drift():
         np.testing.assert_allclose(np.asarray(acc_f), np.asarray(acc_r),
                                    rtol=2e-4, atol=5e-5,
                                    err_msg=f"acc step {step}")
+
+
+def test_packed_cycle_matches_unpacked(monkeypatch=None):
+    """The packed-cycle fast path (PackedSpecies riding the kernel's
+    (8,n) block between steps) must reproduce the unpacked fused cycle:
+    same positions/momenta/voxels and energies after several full
+    resort cycles through the public Simulation API."""
+    if not _needs_cpu("test_packed_cycle_matches_unpacked"):
+        return
+    from jax.experimental.pallas import tpu as pltpu2
+
+    os.environ["VPIC_TPU_FORCE_FUSED"] = "1"
+    os.environ.pop("VPIC_TPU_DISABLE_PALLAS", None)
+    try:
+        import __graft_entry__ as ge
+
+        def build():
+            return ge._build(nx=8, ny=8, nz=1, npart=1500,
+                             ion_sort_mult=2)
+
+        with pltpu2.force_tpu_interpret_mode():
+            os.environ["VPIC_TPU_DISABLE_PACKED"] = "1"
+            simA = build()
+            assert simA._cycle_body_packed is None
+            simA.advance(8)
+            eA = simA.energies()
+
+            os.environ.pop("VPIC_TPU_DISABLE_PACKED", None)
+            simB = build()
+            assert simB._cycle_body_packed is not None
+            simB.advance(8)
+            eB = simB.energies()
+
+        for k in eA:
+            np.testing.assert_allclose(float(eB[k]), float(eA[k]),
+                                       rtol=2e-5, atol=1e-12, err_msg=k)
+        for a, b in zip(simA.state.species, simB.state.species):
+            la = np.asarray(a.alive)
+            # same live set; the packed path sorts identically (stable,
+            # same keys) so slots line up
+            np.testing.assert_array_equal(np.asarray(a.i)[la],
+                                          np.asarray(b.i)[la])
+            for c in ("dx", "dy", "dz", "ux", "uy", "uz", "q"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(a, c))[la],
+                    np.asarray(getattr(b, c))[la],
+                    rtol=2e-5, atol=1e-7, err_msg=f"{a.name}.{c}")
+    finally:
+        os.environ.pop("VPIC_TPU_FORCE_FUSED", None)
+        os.environ.pop("VPIC_TPU_DISABLE_PACKED", None)
+        os.environ["VPIC_TPU_DISABLE_PALLAS"] = "1"

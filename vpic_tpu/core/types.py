@@ -414,6 +414,39 @@ class SpeciesState:
         ) & (self.i >= 0)
 
 
+@register_dataclass(meta=("name", "sid", "max_np", "sort_interval",
+                          "uniform_q", "tiled"))
+@dataclasses.dataclass
+class PackedSpecies:
+    """Closed-cycle fast-path species layout: the fused push kernel's own
+    (8, max_np) row block [dx dy dz ux uy uz q vox] carried BETWEEN steps,
+    so each step's kernel input is the previous step's ``pout[0:8]``
+    tile-aligned slice — no per-column extraction/concat relayouts.
+
+    Valid only while nothing can create, kill, tag, or migrate particles
+    (no absorbing faces, emitters, injection hooks, boundary rounds, or
+    multishard migration): ``np`` is constant, no zombies exist, and the
+    q row (dead slots zeroed) is permutation-invariant.  ``vox`` is in
+    KERNEL space (tiled-x when the grid is tiled) as exact-f32 integers.
+    Convert with particles.push.pack_species / unpack_species at cycle
+    boundaries."""
+
+    name: str
+    sid: int
+    max_np: int
+    sort_interval: int
+    uniform_q: bool
+    tiled: bool
+
+    q_m: jax.Array          # charge/mass ratio (scalar f32)
+    np: jax.Array           # live particle count (scalar int32)
+    nm: jax.Array           # dropped-mover count (scalar int32)
+    pk: jax.Array           # (8, max_np) f32 kernel-layout state rows
+
+    def replace(self, **kw) -> "PackedSpecies":
+        return dataclasses.replace(self, **kw)
+
+
 # ---------------------------------------------------------------------------
 # Whole-simulation state
 # ---------------------------------------------------------------------------

@@ -545,6 +545,8 @@ class Simulation:
         k = self.opts.resort_interval
         self._cycle_mult = 1
         self._advance_cycle_b = None
+        self._cycle_body_packed = None
+        self._cycle_body_b_packed = None
         if k <= 1 or g.is_multishard:
             self._advance_cycle = None
             return
@@ -581,8 +583,9 @@ class Simulation:
         if fused is None:
             from ..particles.push_pallas import fused_vmem_ok
             fused = fused_vmem_ok(g.nv, g.nxg)
-        if (jax.default_backend() == "cpu"
-                or _os.environ.get("VPIC_TPU_DISABLE_PALLAS")):
+        if (not _os.environ.get("VPIC_TPU_FORCE_FUSED")
+                and (jax.default_backend() == "cpu"
+                     or _os.environ.get("VPIC_TPU_DISABLE_PALLAS"))):
             fused = False
         mults = [max(1, -(-h["sort_interval"] // k))
                  if h["sort_interval"] > k else 1 for h in self._species]
@@ -591,8 +594,57 @@ class Simulation:
         # sort at least as often as asked — never less).
         slow = [m for m in mults if m > 1]
         M = min(slow) if slow else 1
+        flags = tuple(m == 1 for m in mults)
+
+        # Packed-cycle fast path (core.types.PackedSpecies): species ride
+        # the fused kernel's (8, n) row block between steps — no
+        # per-column extraction/concat relayouts.  Valid only in a closed
+        # configuration: nothing may create, kill, tag, or migrate
+        # particles during a cycle.
+        from ..core.types import NEIGHBOR_REFLECT, PERIODIC_FIELDS
+        packed_ok = (
+            fused
+            and not self._emitters
+            and not self._boundary_handlers
+            and not any(v is not None for v in hooks.values())
+            and all(b in (PERIODIC_FIELDS, NEIGHBOR_REFLECT)
+                    for b in g.pbc)
+            and all(not any(bool(np.any(b["tag"] != 0))
+                            for b in h["batches"])
+                    for h in self._species)
+            and not _os.environ.get("VPIC_TPU_DISABLE_PACKED"))
+        self._cycle_body_packed = None
+        self._cycle_body_b_packed = None
+        if packed_ok:
+            adv_ps = make_advance(g, self.comm, pcomm=None, opts=self.opts,
+                                  packed=True, **hooks)
+            adv_pn = make_advance(g, self.comm, pcomm=None, opts=self.opts,
+                                  packed=True, do_sort=False, **hooks)
+
+            def pack_state(state):
+                return dataclasses.replace(
+                    state, species=tuple(ppush.pack_species(sp, g)
+                                         for sp in state.species))
+
+            def unpack_state(state):
+                return dataclasses.replace(
+                    state, species=tuple(ppush.unpack_species(sp, g)
+                                         for sp in state.species))
+
+            def cycle_p(state):
+                state = adv_ps(state)
+                for _ in range(k - 1):
+                    state = adv_pn(state)
+                return state
+
+            self._pack_state = pack_state
+            self._unpack_state = unpack_state
+            self._cycle_body_packed = cycle_p
+            self._advance_cycle = jax.jit(
+                lambda s: unpack_state(cycle_p(pack_state(s))),
+                donate_argnums=0)
+
         if fused and M > 1:
-            flags = tuple(m == 1 for m in mults)
             adv_b = make_advance(
                 g, self.comm, pcomm=None, opts=self.opts,
                 boundary_handlers=tuple(self._boundary_handlers),
@@ -608,6 +660,23 @@ class Simulation:
             self._cycle_body_b = cycle_b
             self._advance_cycle_b = jax.jit(cycle_b, donate_argnums=0)
 
+            if packed_ok:
+                adv_pb = make_advance(g, self.comm, pcomm=None,
+                                      opts=self.opts, packed=True,
+                                      do_sort=flags, **hooks)
+
+                def cycle_pb(state):
+                    state = adv_pb(state)
+                    for _ in range(k - 1):
+                        state = adv_pn(state)
+                    return state
+
+                self._cycle_body_b_packed = cycle_pb
+                self._advance_cycle_b = jax.jit(
+                    lambda s: self._unpack_state(
+                        cycle_pb(self._pack_state(s))),
+                    donate_argnums=0)
+
     def _cycles_scan(self, m: int):
         """One executable running ``m`` resort cycles via ``lax.scan`` —
         a single dispatch (and a single XLA program) instead of ``m``,
@@ -617,13 +686,11 @@ class Simulation:
         cycle + loop plumbing."""
         fn = self._cycles_scan_cache.get(m)
         if fn is None:
-            cyc = self._cycle_body
-
-            def run(state):
-                return jax.lax.scan(lambda s, _: (cyc(s), None), state,
-                                    None, length=m)[0]
-
-            fn = self._cycles_scan_cache[m] = jax.jit(run, donate_argnums=0)
+            fn = self._cycles_scan_cache[m] = jax.jit(
+                self._scan_run(self._cycle_body,
+                               getattr(self, "_cycle_body_packed", None),
+                               m),
+                donate_argnums=0)
         return fn
 
     def _cycles_scan_b(self, m: int):
@@ -632,15 +699,29 @@ class Simulation:
         sort-cadence pattern."""
         fn = self._cycles_scan_cache.get(("b", m))
         if fn is None:
-            cyc = self._cycle_body_b
+            fn = self._cycles_scan_cache[("b", m)] = jax.jit(
+                self._scan_run(self._cycle_body_b,
+                               getattr(self, "_cycle_body_b_packed", None),
+                               m),
+                donate_argnums=0)
+        return fn
+
+    def _scan_run(self, body, body_packed, m: int):
+        """m cycles via lax.scan.  With a packed body, the scan carry is
+        the PACKED state (pack/unpack once per dispatch, not per cycle)."""
+        if body_packed is not None:
+            pack, unpack = self._pack_state, self._unpack_state
 
             def run(state):
-                return jax.lax.scan(lambda s, _: (cyc(s), None), state,
+                ps = pack(state)
+                ps = jax.lax.scan(lambda s, _: (body_packed(s), None), ps,
+                                  None, length=m)[0]
+                return unpack(ps)
+        else:
+            def run(state):
+                return jax.lax.scan(lambda s, _: (body(s), None), state,
                                     None, length=m)[0]
-
-            fn = self._cycles_scan_cache[("b", m)] = jax.jit(
-                run, donate_argnums=0)
-        return fn
+        return run
 
     def advance(self, n=1):
         k = self.opts.resort_interval

@@ -127,6 +127,7 @@ def make_advance(
     emitters: tuple = (),
     boundary_handlers: tuple = (),
     do_sort=True,
+    packed: bool = False,
 ):
     """Build the (jittable) advance function for a fixed configuration.
     The ``user_*`` hooks are jax-traceable callbacks
@@ -152,9 +153,12 @@ def make_advance(
         from ..particles.push_pallas import fused_vmem_ok
         fused_push = fused_vmem_ok(g.nv, g.nxg)
     import os
-    if (jax.default_backend() == "cpu"
-            or os.environ.get("VPIC_TPU_DISABLE_PALLAS")):
+    if (not os.environ.get("VPIC_TPU_FORCE_FUSED")
+            and (jax.default_backend() == "cpu"
+                 or os.environ.get("VPIC_TPU_DISABLE_PALLAS"))):
         # pallas interpret mode is slow; tests run the XLA scatter path
+        # (VPIC_TPU_FORCE_FUSED=1 keeps the fused path for interpret-mode
+        # parity tests of the full step/cycle)
         sorted_deposit = False
         fused_push = False
     if fused_push:
@@ -173,6 +177,16 @@ def make_advance(
         or bool(emitters)
         or user_particle_injection is not None
         or any(b not in (PERIODIC_FIELDS, NEIGHBOR_REFLECT) for b in g.pbc))
+
+    if packed:
+        # packed-cycle species (core.types.PackedSpecies) are only valid
+        # when nothing can create/kill/tag/migrate particles and the
+        # fused kernel is active (the layout IS the kernel's I/O block)
+        if needs_boundary or user_particle_collisions is not None \
+                or not fused_push:
+            raise ValueError("packed advance requires the fused kernel "
+                             "and a closed configuration (no boundary "
+                             "rounds, emitters, injection, or collisions)")
 
     def advance(state: SimState) -> SimState:
         f = state.field
@@ -194,7 +208,11 @@ def make_advance(
             # reference's per-species sort_interval, species_advance.h:56;
             # production decks sort ions ~5-10x less often than electrons)
             ds = do_sort if isinstance(do_sort, bool) else do_sort[si]
-            if sorted_deposit:
+            if packed:
+                if ds:
+                    with scope("phase_sort"):
+                        sp = paux.sort_p_packed(sp, g)
+            elif sorted_deposit:
                 # Only the FUSED kernel tolerates inter-sort drift (its
                 # window pre-bias + out-of-window fix-up); the sorted-but-
                 # unfused deposit kernel has no pre-bias, so skipping the
@@ -236,12 +254,17 @@ def make_advance(
                 frac = 256 if k <= 2 else (96 if k <= 8 else 24)
                 fix_cap = max(8192, sp.max_np // frac)
             with scope("phase_push"):
-                sp, acc = ppush.advance_p(sp, state.interpolator, acc, nb,
-                                          g, n_walk=n_walk,
-                                          sorted_deposit=sorted_deposit,
-                                          fused=fused_push,
-                                          interp_t=interp_t,
-                                          fix_cap=fix_cap)
+                if packed:
+                    sp, acc = ppush.advance_p_packed(
+                        sp, state.interpolator, acc, nb, g, n_walk=n_walk,
+                        table_t=interp_t, fix_cap=fix_cap)
+                else:
+                    sp, acc = ppush.advance_p(sp, state.interpolator, acc,
+                                              nb, g, n_walk=n_walk,
+                                              sorted_deposit=sorted_deposit,
+                                              fused=fused_push,
+                                              interp_t=interp_t,
+                                              fix_cap=fix_cap)
             species.append(sp)
         state = dataclasses.replace(state, species=tuple(species))
 

@@ -208,3 +208,30 @@ def sort_p(sp: SpeciesState, g: Grid | None = None) -> SpeciesState:
         ux=ux, uy=uy, uz=uz, q=q_out,
         tag=tag if not sp.has_tags else jnp.where(in_range, tag, 0),
     )
+
+
+def sort_p_packed(psp, g: Grid):
+    """sort_p for a PackedSpecies: the key is row 7 (already in kernel
+    space — tiled when the grid is tiled), payload rows 0..5 (+6 when
+    weights vary).  Dead tail slots re-zero; ``np`` is invariant (packed
+    cycles cannot create or kill particles)."""
+    big = jnp.int32(2 ** 30)
+    p = psp.pk
+    n = psp.max_np
+    in_range = jnp.arange(n, dtype=jnp.int32) < psp.np
+    key = jnp.where(in_range, (p[7] + 0.5).astype(jnp.int32), big)
+
+    cols = [p[0], p[1], p[2], p[3], p[4], p[5]]
+    if not psp.uniform_q:
+        cols.append(p[6])
+    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=True)
+    key_s = out[0]
+    if psp.uniform_q:
+        qv = p[6][jnp.argmax(jnp.abs(p[6]))]
+        q_row = jnp.where(in_range, qv, 0.0)
+    else:
+        q_row = jnp.where(in_range, out[7], 0.0)
+    vox_row = jnp.where(in_range, key_s, 0).astype(jnp.float32)
+    new_pk = jnp.stack([out[1], out[2], out[3], out[4], out[5], out[6],
+                        q_row, vox_row], axis=0)
+    return psp.replace(pk=new_pk)

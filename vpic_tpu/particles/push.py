@@ -628,10 +628,10 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     kvox = (pout[pk.PVOX] + 0.5).astype(jnp.int32)
     if tiled:
         kvox = pk.vox_of_t(g, jnp.clip(kvox, 0, nvk - 1))
-    # out-of-window lanes were never pushed (kernel passthrough leaves
-    # PVOX = start - 1, a garbage voxel); they keep their original voxel —
-    # as do dead slots (zombies carry i < 0, which `alive` relies on)
-    vox_o = jnp.where(alive & in_win, kvox, sp.i)
+    # out-of-window lanes carry their INPUT voxel through PVOX (kernel
+    # passthrough), so kvox is valid for every live lane; dead slots keep
+    # their original voxel (zombies carry i < 0, which `alive` relies on)
+    vox_o = jnp.where(alive, kvox, sp.i)
 
     # ---- compacted fix-up buffer ----
     # The kernel passes out-of-window lanes straight through, so the pout
@@ -708,3 +708,154 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox_o, ux=uxo, uy=uyo, uz=uzo,
                     mdx=mdx, mdy=mdy, mdz=mdz, pc=pc, nm=nm)
     return sp, acc
+
+
+# ---------------------------------------------------------------------------
+# Packed-cycle fast path: species carried in the kernel's (8, n) row layout
+# ---------------------------------------------------------------------------
+
+
+def pack_species(sp: SpeciesState, g: Grid):
+    """SpeciesState -> PackedSpecies (the fused kernel's (8, max_np) row
+    layout, voxels in kernel space).  Requires a zombie-free species in a
+    configuration where nothing can create/kill/tag particles (see
+    core.types.PackedSpecies)."""
+    from ..core.types import PackedSpecies
+    from . import push_pallas as pk
+
+    alive = sp.alive
+    vox = jnp.where(alive, sp.i, 0)
+    tiled = pk.use_tiled(g)
+    if tiled:
+        vox = pk.tvox_of(g, vox)
+    rows = jnp.stack([sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
+                      jnp.where(alive, sp.q, 0.0),
+                      vox.astype(jnp.float32)], axis=0)
+    return PackedSpecies(
+        name=sp.name, sid=sp.sid, max_np=sp.max_np,
+        sort_interval=sp.sort_interval, uniform_q=sp.uniform_q,
+        tiled=tiled, q_m=sp.q_m, np=sp.np, nm=sp.nm, pk=rows)
+
+
+def unpack_species(psp, g: Grid) -> SpeciesState:
+    """PackedSpecies -> SpeciesState.  Mover columns come back cleared
+    (packed cycles have no boundary rounds; leftovers were dropped and
+    counted in ``nm``, the advance.cxx:98-103 semantics)."""
+    from . import push_pallas as pk
+
+    p = psp.pk
+    vox = (p[7] + 0.5).astype(jnp.int32)
+    if psp.tiled:
+        vox = pk.vox_of_t(g, vox)
+    in_range = jnp.arange(psp.max_np, dtype=jnp.int32) < psp.np
+    zf = jnp.zeros((psp.max_np,), jnp.float32)
+    zi = jnp.zeros((psp.max_np,), jnp.int32)
+    return SpeciesState(
+        name=psp.name, sid=psp.sid, max_np=psp.max_np,
+        sort_interval=psp.sort_interval, q_m=psp.q_m,
+        np=psp.np, nm=psp.nm,
+        dx=p[0], dy=p[1], dz=p[2],
+        i=jnp.where(in_range, vox, 0),
+        ux=p[3], uy=p[4], uz=p[5], q=p[6],
+        mdx=zf, mdy=zf, mdz=zf, pc=zi, tag=zi,
+        has_tags=False, uniform_q=psp.uniform_q)
+
+
+def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
+                     n_walk: int = 4, table_t=None,
+                     fix_cap: int | None = None, kernel_opts=None):
+    """advance_p for a PackedSpecies: the kernel reads ``psp.pk``
+    directly and ``pout[0:8]`` (a tile-aligned slice) becomes the next
+    state — no column extraction, no input concat; the fix-up scatters
+    once into the (8, n) block instead of per column."""
+    from . import push_pallas as pk
+
+    max_np = psp.max_np
+    if fix_cap is None:
+        fix_cap = max(8192, max_np // 64)
+    K = min(fix_cap, max_np, 2048 * 128)
+
+    qdt_2mc = (0.5 * psp.q_m * g.dt / g.cvac).astype(jnp.float32)
+    cdt = (jnp.float32(g.cvac * g.dt * g.rdx),
+           jnp.float32(g.cvac * g.dt * g.rdy),
+           jnp.float32(g.cvac * g.dt * g.rdz))
+    params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
+
+    tiled = psp.tiled
+    if tiled:
+        nvk = pk.n_tiled(g)
+        strides = jnp.asarray(pk.tiled_face_strides(g), jnp.int32)
+    else:
+        nvk = g.nv
+        strides = jnp.asarray(pk.face_strides(g), jnp.int32)
+
+    ko = dict(kernel_opts or {})
+    if "window" not in ko:
+        ko["window"], ko["pre"] = ((512, 256) if tiled
+                                   else pk.pick_window(g.nxg))
+    vox_k = (psp.pk[7] + 0.5).astype(jnp.int32)
+    acc_t, pout, in_win = pk.fused_push_walk(
+        vox_k, psp.pk, table_t, params, strides, nvk, n_walk=n_walk, **ko)
+    if tiled:
+        acc = acc + untile_acc(acc_t, g)
+    else:
+        acc = acc + acc_t[:, :g.nv].T
+
+    alive = jnp.arange(max_np, dtype=jnp.int32) < psp.np
+    expt = pout[pk.PEXPT] > 0.5
+    fix = alive & (expt | ~in_win)
+
+    sel, n_fix, valid = compact_indices_hier(fix, K, max_np)
+    safe = jnp.where(valid, sel, 0)
+    redo = valid & ~in_win[safe]
+
+    px_f, py_f, pz_f = (pout[pk.PX][safe], pout[pk.PY][safe],
+                        pout[pk.PZ][safe])
+    ux_f, uy_f, uz_f = (pout[pk.PUX][safe], pout[pk.PUY][safe],
+                        pout[pk.PUZ][safe])
+    q_f = jnp.where(valid, pout[pk.PQ][safe], 0.0)
+    kvox_f = (pout[pk.PVOX][safe] + 0.5).astype(jnp.int32)
+    vox_f = (pk.vox_of_t(g, jnp.clip(kvox_f, 0, nvk - 1)) if tiled
+             else kvox_f)                      # untiled for the walk
+
+    ipr = interp[jnp.where(redo, jnp.maximum(vox_f, 0), 0)]
+    rux, ruy, ruz, rrx, rry, rrz = _push_math(
+        ipr, px_f, py_f, pz_f, ux_f, uy_f, uz_f, qdt_2mc, cdt)
+
+    def mix(r, b):
+        return jnp.where(redo, r, b)
+
+    st_in = WalkState(
+        x=px_f, y=py_f, z=pz_f, vox=vox_f,
+        ux=mix(rux, ux_f), uy=mix(ruy, uy_f), uz=mix(ruz, uz_f),
+        rx=mix(rrx, pout[pk.PRX][safe]),
+        ry=mix(rry, pout[pk.PRY][safe]),
+        rz=mix(rrz, pout[pk.PRZ][safe]),
+        q=q_f, pcode=jnp.zeros((K,), jnp.int32), active=valid)
+    stype_b = jnp.where(redo, 3,
+                        (pout[pk.PTYPE][safe] + 0.5).astype(jnp.int32))
+    dir_b = jnp.where(redo, 0.0, pout[pk.PDIR][safe])
+    pos_b = (st_in.x, st_in.y, st_in.z)
+    rem_b = (st_in.rx, st_in.ry, st_in.rz)
+    st = resolve_crossing(st_in, pos_b, rem_b,
+                          (st_in.ux, st_in.uy, st_in.uz), pos_b, rem_b,
+                          stype_b, (dir_b, dir_b, dir_b), neighbor, g)
+    walk = valid & (st.pcode == 0) & (
+        (st.rx != 0) | (st.ry != 0) | (st.rz != 0))
+    st = st._replace(active=walk)
+    st, acc = streak_walk(st, acc, neighbor, g, n_walk)
+
+    # ---- one (8, K) scatter back into the state block ----
+    tgt = jnp.where(valid, sel, max_np)
+    voxk_new = (pk.tvox_of(g, jnp.maximum(st.vox, 0)) if tiled
+                else st.vox).astype(jnp.float32)
+    upd = jnp.stack([st.x, st.y, st.z, st.ux, st.uy, st.uz,
+                     q_f, voxk_new], axis=0)          # (8, K)
+    new_pk = pout[0:8].at[:, tgt].set(upd, mode="drop")
+
+    pend = st.pcode != 0
+    # packed cycles have no boundary rounds: pending movers are dropped
+    # and counted (advance.cxx:98-103 semantics)
+    nm = (jnp.sum(pend).astype(jnp.int32)
+          + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0))
+    return psp.replace(pk=new_pk, nm=psp.nm + nm), acc

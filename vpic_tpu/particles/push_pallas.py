@@ -45,15 +45,21 @@ LANE = 128
 ONE_THIRD = 1.0 / 3.0
 TWO_FIFTEENTHS = 2.0 / 15.0
 
-# pout row layout (component-major (NROWS, np) output):
+# pout row layout (component-major (NROWS, np) output).  Rows 0..7 are
+# exactly the kernel's INPUT state layout [dx dy dz ux uy uz q vox] so a
+# packed-cycle caller can feed pout[0:8] (a tile-aligned slice) straight
+# back into the next step's kernel:
 #   PX..PZ   final cell-relative position (exported: position on the face)
 #   PUX..PUZ kicked momentum
+#   PQ       charge weight (input passthrough, dead lanes 0)
+#   PVOX     final voxel as f32, exact below 2^24 (out-of-window lanes:
+#            the INPUT voxel passes through, so the row is always valid)
 #   PRX..PRZ remaining half-displacement (0 when fully walked)
-#   PVOX     final voxel as f32 (exact below 2^24)
 #   PTYPE    pending crossing axis (3 = none)
 #   PDIR     pending crossing direction (+-1)
 #   PEXPT    1.0 if the lane was exported for XLA fix-up
-PX, PY, PZ, PUX, PUY, PUZ, PRX, PRY, PRZ, PVOX, PTYPE, PDIR, PEXPT = range(13)
+(PX, PY, PZ, PUX, PUY, PUZ, PQ, PVOX,
+ PRX, PRY, PRZ, PTYPE, PDIR, PEXPT) = range(14)
 NROWS = 16
 EXC_ROW = 18          # exception-bit row index in the gathered table
 EXC_SHIFT_ROW = 19    # rows 19..24: exc bits of the face-f neighbor
@@ -423,11 +429,16 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
          (pox, poy, poz), (prx, pry, prz),
          ptype, pdir, pexpt, ploc) = carry
 
+        # out-of-window lanes pass their INPUT voxel through (they were
+        # never pushed; start+ploc would be garbage), so PVOX is always a
+        # valid kernel-space voxel and rows 0..7 are directly the next
+        # step's input state
+        voxf = jnp.where(inb, (start + ploc).astype(jnp.float32), ps[7:8])
         out = jnp.concatenate([
-            pox, poy, poz, pux, puy, puz, prx, pry, prz,
-            (start + ploc).astype(jnp.float32),
+            pox, poy, poz, pux, puy, puz, q, voxf,
+            prx, pry, prz,
             ptype.astype(jnp.float32), pdir, pexpt,
-            jnp.zeros((NROWS - 13, rw), jnp.float32),
+            jnp.zeros((NROWS - 14, rw), jnp.float32),
         ], axis=0)                                             # (16, rw)
         pout_ref[:, pl.ds(r128, rw)] = out
         return blk
@@ -480,10 +491,11 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     window = min(window, nv_pad)   # tiny grids: whole table in-window
     pre = min(pre, max(window - LANE, 0))
 
+    nr = pstate_t.shape[0]
     if npad != n:
         vox = jnp.concatenate([vox, jnp.zeros((npad - n,), jnp.int32)])
         pstate_t = jnp.concatenate(
-            [pstate_t, jnp.zeros((7, npad - n), jnp.float32)], axis=1)
+            [pstate_t, jnp.zeros((nr, npad - n), jnp.float32)], axis=1)
 
     starts_raw = jnp.maximum(vox[::block] - pre, 0)
     starts = jnp.minimum((starts_raw // LANE) * LANE,
@@ -495,9 +507,15 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     loc = vox - jnp.repeat(starts, block)
     in_window = (loc >= 0) & (loc < window)
     # the kernel recomputes loc from the voxel (pstate row 7, f32-exact
-    # below 2^24); only in_window is needed host-side
-    pstate_in = jnp.concatenate(
-        [pstate_t, vox.astype(jnp.float32)[None, :]], axis=0)   # (8, npad)
+    # below 2^24); only in_window is needed host-side.  A 7-row pstate
+    # gets the voxel appended; the packed-cycle path passes the kernel's
+    # own 8-row layout (vox already row 7) straight through.
+    if nr == 7:
+        pstate_in = jnp.concatenate(
+            [pstate_t, vox.astype(jnp.float32)[None, :]], axis=0)
+    else:
+        assert nr == 8, nr
+        pstate_in = pstate_t                                    # (8, npad)
     # the (12, nv_pad) accumulator stays VMEM-resident on small grids;
     # large grids use per-block output slabs + the combine epilogue
     if perblock is None:
