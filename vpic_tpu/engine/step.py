@@ -252,6 +252,18 @@ def make_advance(
                 if fused_push and sp.sort_interval > k:
                     k = sp.sort_interval
                 frac = 256 if k <= 2 else (96 if k <= 8 else 24)
+                if fused_push:
+                    # an active axis whose voxel stride exceeds the deposit
+                    # window (the slowest axis of a 3D grid) exports EVERY
+                    # crossing to the fix-up — provision for a per-step
+                    # crossing-rate fraction, not just sort drift
+                    from ..particles import push_pallas as _pk
+                    win = (512 if _pk.use_tiled(g)
+                           else _pk.pick_window(g.nxg)[0])
+                    strides = (_pk.tiled_face_strides(g)
+                               if _pk.use_tiled(g) else _pk.face_strides(g))
+                    if any(abs(s) >= win for s in strides):
+                        frac = min(frac, 24)
                 fix_cap = max(8192, sp.max_np // frac)
             with scope("phase_push"):
                 if packed:
