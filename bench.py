@@ -21,13 +21,14 @@ def main():
     npart = int(os.environ.get("BENCH_NPART", 4_000_000))
     nx = int(os.environ.get("BENCH_NX", 128))
     ny = int(os.environ.get("BENCH_NY", 128))
+    nz = int(os.environ.get("BENCH_NZ", 1))
     steps = int(os.environ.get("BENCH_STEPS", 16))
     resort = int(os.environ.get("BENCH_RESORT", 2))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build
 
-    sim = _build(nx=nx, ny=ny, nz=1, npart=npart // 2,  # 2 species
+    sim = _build(nx=nx, ny=ny, nz=nz, npart=npart // 2,  # 2 species
                  resort_interval=resort)
 
     # The per-species sort cadence repeats every cycle_mult resort cycles
