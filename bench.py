@@ -24,12 +24,13 @@ def main():
     nz = int(os.environ.get("BENCH_NZ", 1))
     steps = int(os.environ.get("BENCH_STEPS", 16))
     resort = int(os.environ.get("BENCH_RESORT", 2))
+    ion_mult = int(os.environ.get("BENCH_ION_MULT", 4))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build
 
     sim = _build(nx=nx, ny=ny, nz=nz, npart=npart // 2,  # 2 species
-                 resort_interval=resort)
+                 resort_interval=resort, ion_sort_mult=ion_mult)
 
     # The per-species sort cadence repeats every cycle_mult resort cycles
     # (A cycle: all species sort; B cycles: fast species only).  Round the

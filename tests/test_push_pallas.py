@@ -338,3 +338,42 @@ def test_packed_cycle_matches_unpacked(monkeypatch=None):
         os.environ.pop("VPIC_TPU_FORCE_FUSED", None)
         os.environ.pop("VPIC_TPU_DISABLE_PACKED", None)
         os.environ["VPIC_TPU_DISABLE_PALLAS"] = "1"
+
+
+def test_compact_indices_hier_matches_flat():
+    """The gather/rank-select hierarchical compaction must reproduce the
+    flat prefix-sum compaction (same stable index order, count, and
+    validity) across sparsity regimes, including k-overflow and the
+    all-empty mask."""
+    from vpic_tpu.particles.push import compact_indices, compact_indices_hier
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    for dens, k in ((0.0, 64), (0.001, 64), (0.02, 64), (0.02, 8),
+                    (0.5, 256), (1.0, 128)):
+        mask = jnp.asarray(rng.random(n) < dens)
+        sel_f, n_f, val_f = compact_indices(mask, k, n)
+        sel_h, n_h, val_h = compact_indices_hier(mask, k, n)
+        np.testing.assert_array_equal(np.asarray(val_h), np.asarray(val_f),
+                                      err_msg=f"valid dens={dens} k={k}")
+        assert int(n_h) == int(n_f), (dens, k)
+        vf = np.asarray(val_f)
+        np.testing.assert_array_equal(np.asarray(sel_h)[vf],
+                                      np.asarray(sel_f)[vf],
+                                      err_msg=f"sel dens={dens} k={k}")
+
+
+def test_compact_indices_hier_row_cap_drop():
+    """Lanes beyond row_cap rows are dropped from sel but still counted in
+    n_true (callers charge them against the mover-drop counter)."""
+    from vpic_tpu.particles.push import compact_indices_hier
+
+    n = 1024
+    mask = np.zeros(n, bool)
+    mask[5] = mask[200] = mask[300] = mask[900] = True
+    sel, n_true, valid = compact_indices_hier(jnp.asarray(mask), 8, n,
+                                              row_cap=2)
+    assert int(n_true) == 4
+    got = sorted(int(s) for s, v in zip(np.asarray(sel), np.asarray(valid))
+                 if v)
+    assert got == [5, 200]          # rows 0 and 1 (first two hit rows)

@@ -615,6 +615,7 @@ class Simulation:
             and not _os.environ.get("VPIC_TPU_DISABLE_PACKED"))
         self._cycle_body_packed = None
         self._cycle_body_b_packed = None
+        self._cycle_packed = False
         if packed_ok:
             adv_ps = make_advance(g, self.comm, pcomm=None, opts=self.opts,
                                   packed=True, **hooks)
@@ -640,9 +641,13 @@ class Simulation:
             self._pack_state = pack_state
             self._unpack_state = unpack_state
             self._cycle_body_packed = cycle_p
-            self._advance_cycle = jax.jit(
-                lambda s: unpack_state(cycle_p(pack_state(s))),
-                donate_argnums=0)
+            # the packed mirror persists ACROSS dispatches (self._pstate);
+            # cycle executables are packed->packed and self.state unpacks
+            # lazily on read, so pack/unpack leaves the hot loop entirely
+            self._cycle_packed = True
+            self._jit_pack = jax.jit(pack_state)
+            self._jit_unpack = jax.jit(unpack_state)
+            self._advance_cycle = jax.jit(cycle_p, donate_argnums=0)
 
         if fused and M > 1:
             adv_b = make_advance(
@@ -672,10 +677,7 @@ class Simulation:
                     return state
 
                 self._cycle_body_b_packed = cycle_pb
-                self._advance_cycle_b = jax.jit(
-                    lambda s: self._unpack_state(
-                        cycle_pb(self._pack_state(s))),
-                    donate_argnums=0)
+                self._advance_cycle_b = jax.jit(cycle_pb, donate_argnums=0)
 
     def _cycles_scan(self, m: int):
         """One executable running ``m`` resort cycles via ``lax.scan`` —
@@ -707,21 +709,43 @@ class Simulation:
         return fn
 
     def _scan_run(self, body, body_packed, m: int):
-        """m cycles via lax.scan.  With a packed body, the scan carry is
-        the PACKED state (pack/unpack once per dispatch, not per cycle)."""
-        if body_packed is not None:
-            pack, unpack = self._pack_state, self._unpack_state
+        """m cycles via lax.scan.  With a packed body the carry is the
+        PACKED state end-to-end (the caller holds a persistent packed
+        mirror, so no pack/unpack happens anywhere in the dispatch)."""
+        scan_body = body_packed if body_packed is not None else body
 
-            def run(state):
-                ps = pack(state)
-                ps = jax.lax.scan(lambda s, _: (body_packed(s), None), ps,
-                                  None, length=m)[0]
-                return unpack(ps)
-        else:
-            def run(state):
-                return jax.lax.scan(lambda s, _: (body(s), None), state,
-                                    None, length=m)[0]
+        def run(state):
+            return jax.lax.scan(lambda s, _: (scan_body(s), None), state,
+                                None, length=m)[0]
         return run
+
+    # -- state access: the packed fast path keeps a persistent PACKED
+    # mirror (self._pstate) that cycle dispatches chain through; the
+    # public unpacked view materializes lazily on first read ----------------
+    @property
+    def state(self):
+        if getattr(self, "_state_stale", False):
+            self._state = self._jit_unpack(self._pstate)
+            self._state_stale = False
+        return self._state
+
+    @state.setter
+    def state(self, v):
+        self._state = v
+        self._state_stale = False
+        self._pstate = None
+
+    def _dispatch_cycle(self, fn):
+        """Run one jitted cycle executable.  Packed executables run
+        packed->packed on the persistent mirror; everything else runs on
+        the unpacked state as before."""
+        if getattr(self, "_cycle_packed", False):
+            if self._pstate is None:
+                self._pstate = self._jit_pack(self.state)
+            self._pstate = fn(self._pstate)
+            self._state_stale = True
+        else:
+            self.state = fn(self.state)
 
     def advance(self, n=1):
         k = self.opts.resort_interval
@@ -735,20 +759,20 @@ class Simulation:
                     # B cycles up to the next all-sort (A) boundary
                     m = min(left // k, M - (c % M))
                     if m >= 2:
-                        self.state = self._cycles_scan_b(m)(self.state)
+                        self._dispatch_cycle(self._cycles_scan_b(m))
                     else:
-                        self.state = self._advance_cycle_b(self.state)
+                        self._dispatch_cycle(self._advance_cycle_b)
                     self.step_count += m * k
                     left -= m * k
                     continue
                 if M == 1:
                     m = left // k
                     if m >= 2:
-                        self.state = self._cycles_scan(m)(self.state)
+                        self._dispatch_cycle(self._cycles_scan(m))
                         self.step_count += m * k
                         left -= m * k
                         continue
-                self.state = self._advance_cycle(self.state)
+                self._dispatch_cycle(self._advance_cycle)
                 self.step_count += k
                 left -= k
                 continue

@@ -132,14 +132,48 @@ def compact_indices(mask, k: int, max_np: int):
     return jnp.where(valid, sel, max_np), n, valid
 
 
+def _compact_rows_gather(m2, k: int):
+    """Stable row-major indices of the first k set lanes of a 2D mask —
+    gather/rank-select form: XLA's scatter costs one update per INPUT
+    element, so the prefix-sum compaction over R*L lanes pays O(R*L); here
+    the only scatter is R row-start marks and everything else is k-sized
+    (a scan, one (k, L) row-gather, and a rank match).  Returns
+    (flat_sel, total, valid); invalid slots carry R*L."""
+    R, L = m2.shape
+    m2i = m2.astype(jnp.int32)
+    c = jnp.sum(m2i, axis=1)                          # (R,) per-row counts
+    B = jnp.cumsum(c) - c                             # exclusive bases
+    total = (B[-1] + c[-1]).astype(jnp.int32)
+    j = jnp.arange(k, dtype=jnp.int32)
+    # row of the j-th set lane: scatter each nonempty row's id at its base
+    # slot, then a running max fills the row's whole output range
+    start = jnp.where(c > 0, B, k)                    # empty rows dropped
+    mark = jnp.full((k,), -1, jnp.int32).at[
+        jnp.minimum(start, k)].max(jnp.arange(R, dtype=jnp.int32),
+                                   mode="drop")
+    r = jax.lax.associative_scan(jnp.maximum, mark)   # (k,) row per slot
+    r_safe = jnp.maximum(r, 0)
+    rank = j - B[r_safe]                              # in-row rank
+    pr = jnp.cumsum(m2i, axis=1) - 1                  # in-row prefix ranks
+    pr_rows = pr[r_safe]                              # (k, L) row gather
+    bits = m2[r_safe]                                 # (k, L)
+    hit = bits & (pr_rows == rank[:, None])           # exactly one per slot
+    pos = jnp.sum(jnp.where(hit,
+                            jnp.arange(L, dtype=jnp.int32)[None, :], 0),
+                  axis=1)
+    valid = j < total
+    sel = jnp.where(valid, r_safe * L + pos, R * L)
+    return sel, total, valid
+
+
 def compact_indices_hier(mask, k: int, max_np: int, row_cap: int = 2048):
-    """Two-level :func:`compact_indices` for very sparse masks over very
-    long arrays: XLA's scatter costs one update per INPUT element, so the
-    flat version pays O(max_np) even when only a handful of lanes are set.
-    Here 128-lane rows containing any set lane are compacted first (the
-    scatter shrinks by 128x), the survivors' rows are row-gathered, and
-    only row_cap*128 candidate lanes go through the flat pass.  True lanes
-    beyond ``row_cap`` rows are dropped (callers count them against k).
+    """Two-level stable compaction for very sparse masks over very long
+    arrays: 128-lane rows containing any set lane are compacted first (a
+    prefix-sum pass over max_np/128 rows), the survivors' rows are
+    row-gathered, and the lane-level pass runs in gather/rank-select form
+    (:func:`_compact_rows_gather`) so no scatter ever touches the
+    row_cap*128 candidate lanes.  True lanes beyond ``row_cap`` rows are
+    dropped (callers count them against k).
 
     Returns (sel, n_true, valid) like :func:`compact_indices`."""
     n = mask.shape[0]
@@ -152,7 +186,7 @@ def compact_indices_hier(mask, k: int, max_np: int, row_cap: int = 2048):
     rsel, _, rvalid = compact_indices(jnp.any(m2, axis=1), row_cap, nr)
     rsafe = jnp.where(rvalid, rsel, 0)
     cand = m2[rsafe] & rvalid[:, None]              # (row_cap, 128)
-    csel, n_c, cvalid = compact_indices(cand.reshape(-1), k, row_cap * 128)
+    csel, _, cvalid = _compact_rows_gather(cand, k)
     csafe = jnp.where(cvalid, csel, 0)
     sel = rsafe[csafe // 128] * 128 + csafe % 128
     sel = jnp.where(cvalid & (sel < n), sel, max_np)

@@ -238,7 +238,15 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
                                 preferred_element_type=jnp.float32)
         return (D[0:m] + D[m:2 * m]) + D[2 * m:3 * m]
 
-    win3cat = jnp.concatenate(split3(win), axis=0)    # (3*N_TABLE, W) bf16
+    # Slim gather operand: only the 18 interpolator rows need the exact
+    # 3-way split; the 7 exception rows are small ints (<= 63, bf16-exact
+    # with its 8 mantissa bits) and ride as single rows; the N_TABLE pad
+    # rows are dropped.  M = 3*18 + 7 = 61 rows instead of 3*32 = 96 —
+    # ~36% fewer MXU row-streams on the gather dot, bitwise-equal result.
+    N_EXC = 7
+    win3cat = jnp.concatenate(
+        split3(win[0:18]) + (win[EXC_ROW:EXC_ROW + N_EXC]
+                             .astype(jnp.bfloat16),), axis=0)  # (61, W)
 
     def row_body(r, blk):
         r128 = r * jnp.int32(rw)
@@ -248,11 +256,13 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
         ohT = ((jnp.where(inb, loc0, jnp.int32(-1)) == iota_w)
                ).astype(jnp.bfloat16)                           # (W, rw)
 
-        # ---- gather: one (3*N_TABLE, W) x (W, rw) dot, exact 3-pass ----
+        # ---- gather: one (61, W) x (W, rw) dot; interp rows exact via
+        # the M-batched 3-pass recombine, exc rows pass through ----
         gdims = (((1,), (0,)), ((), ()))
         D = jax.lax.dot_general(win3cat, ohT, dimension_numbers=gdims,
                                 preferred_element_type=jnp.float32)
-        C = (D[0:N_TABLE] + D[N_TABLE:2 * N_TABLE]) + D[2 * N_TABLE:]
+        C = (D[0:18] + D[18:36]) + D[36:54]
+        CE = D[54:54 + N_EXC]                     # exc + 6 shifted-exc rows
         dx0, dy0, dz0 = ps[0:1], ps[1:2], ps[2:3]
         ux0, uy0, uz0 = ps[3:4], ps[4:5], ps[5:6]
         q = ps[6:7]
@@ -306,14 +316,13 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
         pexpt = jnp.zeros_like(q)
         ploc = loc0
 
-        exc_i = (C[EXC_ROW:EXC_ROW + 1, :] + 0.5).astype(jnp.int32)
+        exc_i = (CE[0:1, :] + 0.5).astype(jnp.int32)
         # neighbor-voxel exc bits, prefetched per face in the same gather:
         # after an interior crossing through face f the lane's NEW exc is
         # shexc[f] — no in-kernel exc re-gather (an MXU dot) is needed.
         # A lane reaching a THIRD crossing (3D corner tails, whose exc
         # would need a doubly-shifted row) is exported instead.
-        shexc = (C[EXC_SHIFT_ROW:EXC_SHIFT_ROW + 6, :]
-                 + 0.5).astype(jnp.int32)                      # (6, 128)
+        shexc = (CE[1:7, :] + 0.5).astype(jnp.int32)           # (6, rw)
         ncross = jnp.zeros_like(loc0)
         pos = (dx0, dy0, dz0)
         loc_cur = loc0
