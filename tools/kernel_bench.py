@@ -38,7 +38,7 @@ def main():
         rng.uniform(0.5, 1.5, (1, n))]).astype(np.float32))
     voxj = jnp.asarray(vox)
     params = jnp.asarray([0.01, 0.64, 0.64, 0.64], jnp.float32)
-    strides = jnp.asarray(pk.face_strides(g), jnp.int32)
+    strides = pk.face_strides(g)
 
     def run(tag, **kw):
         f = lambda v, p: pk.fused_push_walk(v, p, table, params, strides,

@@ -633,11 +633,11 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     if tiled:
         nvk = pk.n_tiled(g)
         vox_k = pk.tvox_of(g, vox)
-        strides = jnp.asarray(pk.tiled_face_strides(g), jnp.int32)
+        strides = pk.tiled_face_strides(g)
     else:
         nvk = g.nv
         vox_k = vox
-        strides = jnp.asarray(pk.face_strides(g), jnp.int32)
+        strides = pk.face_strides(g)
 
     ko = dict(kernel_opts or {})
     if "window" not in ko:
@@ -818,10 +818,10 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
     tiled = psp.tiled
     if tiled:
         nvk = pk.n_tiled(g)
-        strides = jnp.asarray(pk.tiled_face_strides(g), jnp.int32)
+        strides = pk.tiled_face_strides(g)
     else:
         nvk = g.nv
-        strides = jnp.asarray(pk.face_strides(g), jnp.int32)
+        strides = pk.face_strides(g)
 
     ko = dict(kernel_opts or {})
     if "window" not in ko:

@@ -171,25 +171,59 @@ def exception_bits(neighbor, g) -> jax.Array:
     return bits.astype(jnp.float32)
 
 
-def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
+def deposit_groups(strides, n_walk: int) -> tuple:
+    """Per-segment static net-displacement groups for the deferred
+    deposit dot.  In-kernel crossings are always interior (exceptional
+    faces export) and hit at most one face per axis under the Courant
+    limit, so a lane active at segment ``s`` has crossed exactly ``s``
+    times through distinct axes: its deposit location is
+    ``loc0 + sum(signed axis strides)`` — a small static set per
+    segment.  groups[0] is always (0,); segments beyond the active axis
+    count can have no active lanes and get ()."""
+    import itertools
+    ax = [strides[3 + a] for a in range(3) if strides[3 + a] != 0]
+    groups = [(0,)]
+    for s in range(1, n_walk):
+        gs = set()
+        for combo in itertools.combinations(ax, s):
+            for signs in itertools.product((-1, 1), repeat=s):
+                gs.add(sum(sg * st for sg, st in zip(signs, combo)))
+        groups.append(tuple(sorted(gs)))
+    return tuple(groups)
+
+
+def _kernel(starts_ref, params_ref, pstate_ref,
             win_ref, acc_ref, pout_ref, *, window, n_walk, resident,
-            perblock, rw, skip_deposit=False):
+            perblock, rw, strides, skip_deposit=False):
     """Kernel body.  ``rw`` (row width) picks the layout:
 
     - rw=LANE: historical row loop — each 128-lane row runs the walk on
       (1,128) shapes with per-row gather/deposit dots.
     - rw=block: WIDE layout — the whole block is one block-wide row, so
-      the gather is ONE (3*N_TABLE, W) x (W, block) dot and each deposit
-      ONE (36, block) x (block, W) dot per segment.  Same VPU vreg count,
-      ~3x fewer (and wider) MXU passes; the bf16x3 exactness trick rides
-      the M dimension (row groups summed after the dot, identical
-      associativity, bitwise-equal results).
+      the gather is ONE (3*N_TABLE, W) x (W, block) dot and the deposit
+      ONE deferred (3*12*G, block) x (block, W) dot.  Same VPU vreg
+      count, ~3x fewer (and wider) MXU passes; the bf16x3 exactness
+      trick rides the M dimension (row groups summed after the dot,
+      identical associativity, bitwise-equal results).
+
+    Deposits are DEFERRED: every segment's (12, rw) contribution is
+    masked by its static net-displacement group (``deposit_groups``) and
+    all groups ride ONE dot against the segment-0 one-hot; each group's
+    (12, window) result is then added at a static window shift.  This
+    removes the per-segment one-hot rebuilds (pure VPU cost) and runs
+    the MXU at ~3x the row utilization of per-segment 36-row dots.
 
     The window-local position is computed in-kernel from pstate row 7
     (the voxel as f32, exact below 2^24 — the PVOX output already relies
     on this bound) because Mosaic forbids a (1, block) input block over
     a (nb, block) array."""
     i = pl.program_id(0)
+    # a group with |net shift| >= window is unreachable: the lane's final
+    # loc is in [0, window) and loc0 is too, so |dloc| < window always —
+    # crossings through a >=window stride escaped and were exported
+    # (step.py provisions fix_cap for exactly this, e.g. tiled-3D z)
+    groups = tuple(tuple(g for g in gs if abs(g) < window) for gs in
+                   deposit_groups(strides, n_walk))
 
     if not perblock:
         @pl.when(i == 0)
@@ -382,7 +416,8 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
                 exc_i, face_c) & jnp.int32(1)
             stridev = jnp.zeros_like(loc_cur)
             for f in range(6):
-                stridev = jnp.where(face_c == f, strides_ref[f], stridev)
+                stridev = jnp.where(face_c == f, jnp.int32(strides[f]),
+                                    stridev)
             newloc = loc_cur + stridev
             escape = (newloc < 0) | (newloc >= window)
             # third crossing: neighbor-of-neighbor exc is not prefetched
@@ -430,8 +465,17 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
         # NOTE: skipping all-done tail segments behind a value-carrying
         # lax.cond ICEs the Mosaic compiler (tpu_compile_helper exit 1);
         # all segments run unconditionally (lanes are where-masked).
+        # Segments whose net-displacement group set (``deposit_groups``,
+        # window-filtered) is empty can have no active lanes and are
+        # skipped outright; the one before them is the effective last.
+        # (A deferred single-dot deposit over all segment x group rows
+        # was tried and measured SLOWER in-graph: 9 groups x 12 rows =
+        # 3x the deposit MACs at ~3x the MXU row utilization — a wash on
+        # the dot — while the rebuilt one-hots it saved cost ~nothing.)
         for s in range(n_walk):
-            last = s == n_walk - 1
+            if s > 0 and not groups[s]:
+                break
+            last = s == n_walk - 1 or not groups[min(s + 1, n_walk - 1)]
             carry = segment(carry, last=last, rebuild_oh=not last)
 
         (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
@@ -471,8 +515,8 @@ def _kernel(starts_ref, params_ref, strides_ref, pstate_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nv", "n_walk", "block", "window",
-                                    "pre", "resident", "perblock",
+                   static_argnames=("strides", "nv", "n_walk", "block",
+                                    "window", "pre", "resident", "perblock",
                                     "skip_deposit", "wide"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
@@ -487,7 +531,9 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     table_t: (19, nv_pad) float32 — 18 transposed interpolator rows
              + the exception-bit row (``exception_bits``).
     params: (4,) float32 [qdt_2mc, cdt_dx, cdt_dy, cdt_dz].
-    strides: (6,) int32 per-face interior strides (``face_strides``).
+    strides: STATIC 6-tuple of per-face interior strides
+             (``face_strides``) — static so interior crossings and the
+             deferred-deposit group shifts compile to constants.
 
     Returns (acc_t (12, nv_pad), pout (NROWS, np), in_window (np,) bool).
     Lanes with in_window False passed through unpushed; lanes with
@@ -549,28 +595,28 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
             nb, N_TABLE, window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((8, block), lambda i, s, p, t: (np.int32(0), i),
+            pl.BlockSpec((8, block), lambda i, s, p: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
             (pl.BlockSpec((N_TABLE, nv_pad),
-                          lambda i, s, p, t: (np.int32(0), np.int32(0)),
+                          lambda i, s, p: (np.int32(0), np.int32(0)),
                           memory_space=pltpu.VMEM)
              if resident else
              pl.BlockSpec((1, N_TABLE, window),
-                          lambda i, s, p, t: (i, np.int32(0), np.int32(0)),
+                          lambda i, s, p: (i, np.int32(0), np.int32(0)),
                           memory_space=pltpu.VMEM)),
         ],
         out_specs=[
             (pl.BlockSpec((1, 12, window),
-                          lambda i, s, p, t: (i, np.int32(0), np.int32(0)),
+                          lambda i, s, p: (i, np.int32(0), np.int32(0)),
                           memory_space=pltpu.VMEM)
              if perblock else
              pl.BlockSpec((12, nv_pad),
-                          lambda i, s, p, t: (np.int32(0), np.int32(0)),
+                          lambda i, s, p: (np.int32(0), np.int32(0)),
                           memory_space=pltpu.VMEM)),
-            pl.BlockSpec((NROWS, block), lambda i, s, p, t: (np.int32(0), i),
+            pl.BlockSpec((NROWS, block), lambda i, s, p: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -578,6 +624,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         functools.partial(_kernel, window=window, n_walk=n_walk,
                           resident=resident, perblock=perblock,
                           rw=block if wide else LANE,
+                          strides=tuple(int(x) for x in strides),
                           skip_deposit=skip_deposit),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -588,7 +635,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
              jax.ShapeDtypeStruct((12, nv_pad), jnp.float32)),
             jax.ShapeDtypeStruct((NROWS, npad), jnp.float32),
         ],
-    )(starts, params, strides, pstate_in, win_all)
+    )(starts, params, pstate_in, win_all)
 
     if perblock:
         acc_t = _combine_slabs(acc_t, starts, nv_pad, window)
