@@ -22,10 +22,12 @@ def main():
     npart = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     nx = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    nz = int(os.environ.get("PROF_NZ", 1))
+    ny = int(os.environ.get("PROF_NY", nx))
     prof_dir = os.environ.get("PROF_DIR", "/tmp/vpic_prof")
 
     from __graft_entry__ import _build
-    sim = _build(nx=nx, ny=nx, nz=1, npart=npart // 2)
+    sim = _build(nx=nx, ny=ny, nz=nz, npart=npart // 2)
 
     sim.advance(1)
     jax.block_until_ready(sim.state)
@@ -117,6 +119,30 @@ def main():
     for name, ms in rows:
         print(f"{ms:9.2f} {ms/steps:8.2f} {count[name]:6d}  {name[:60]}  "
               f"{detail.get(name, '')}")
+
+    # the long tail: bucket every op below the listing threshold by its
+    # opcode family so "death by a thousand cuts" shows up with a name
+    import re as _re
+    listed = {n for n, _ in rows}
+    fam_ms = defaultdict(float)
+    fam_n = defaultdict(int)
+    for name, ms in by_name.items():
+        if name in listed:
+            continue
+        fam = _re.sub(r"[.\d]+$", "", name)
+        fam_ms[fam] += ms
+        fam_n[fam] += count[name]
+    print("\n== long tail by opcode family (ops not listed above) ==")
+    print(f"{'ms_total':>9} {'ms/step':>8} {'n':>6}  family")
+    for fam, ms in sorted(fam_ms.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{ms:9.2f} {ms/steps:8.2f} {fam_n[fam]:6d}  {fam}")
+
+    if os.environ.get("PROF_TAIL"):
+        print("\n== top tail ops (individually) ==")
+        tail = [(n, m) for n, m in by_name.items() if n not in listed]
+        for name, ms in sorted(tail, key=lambda kv: -kv[1])[:40]:
+            print(f"{ms:9.2f} {ms/steps:8.2f} {count[name]:6d}  {name[:40]}"
+                  f"  {detail.get(name, '')[:140]}")
     print(f"sum over tracked events: {total_dev:.1f} ms "
           f"({total_dev/steps:.1f} ms/step)")
 

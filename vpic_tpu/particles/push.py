@@ -321,6 +321,127 @@ def streak_walk(st: WalkState, acc, neighbor, g, n_iter: int):
     return st._replace(pcode=pcode, active=jnp.zeros_like(st.active)), acc
 
 
+def _resume_enabled() -> bool:
+    """The resume-kernel fix-up is default-on for the fused path;
+    VPIC_TPU_DISABLE_RESUME=1 falls back to the XLA streak walker for
+    the whole fix-up buffer (A/B testing, debugging)."""
+    import os
+    return not os.environ.get("VPIC_TPU_DISABLE_RESUME")
+
+
+def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
+                  n_walk: int, table_t, params, strides, nvk: int,
+                  kernel_opts=None):
+    """Finish the walk of the K compacted fix-up lanes with a SECOND
+    fused-kernel pass (RESUME mode) instead of the XLA streak walker.
+
+    The fix-up buffer is sorted by (kernel-space) voxel and re-enters the
+    Pallas kernel mid-walk: segments + per-segment deposits run at kernel
+    rates; only its exports (exceptional crossings — domain faces,
+    reflect, migration —, window escapes, and third crossings) drop to
+    the XLA ``streak_walk`` at a K//8 cap.  This replaces the hundreds of
+    small XLA ops and the (nv, 12) scatter-adds that dominate 3D steps,
+    where EVERY z-crossing exports (the tiled/row-major z stride exceeds
+    the deposit window; see step.py fix_cap provisioning).
+
+    ``st`` is the post-``resolve_crossing`` state over the K-lane buffer;
+    ``st.active`` marks lanes with displacement left to walk.  Inactive
+    lanes (already stopped movers, finished lanes, invalid compaction
+    slots with q=0) ride the sort with a zeroed kernel rem (instant
+    finish, zero deposit, pure passthrough); their true pending rem and
+    pcode travel as sort payloads and are restored in the output.
+
+    Returns sorted-order per-lane results
+    ``(x, y, z, ux, uy, uz, q, vox, rx, ry, rz, pcode, tgt_s, acc,
+    n_drop)`` where ``vox`` is in normal voxel space, ``rx..rz`` follow
+    the mover convention (pending displacement where pcode != 0, else 0),
+    and ``tgt_s`` is the original-slot scatter target per sorted lane."""
+    from . import push_pallas as pk
+
+    K = st.x.shape[0]
+    K2 = min(K, max(1024, K // 8))
+
+    voxk = (pk.tvox_of(g, jnp.clip(st.vox, 0, g.nv - 1)) if tiled
+            else st.vox).astype(jnp.int32)
+    walk = st.active
+    rxk = jnp.where(walk, st.rx, 0.0)
+    ryk = jnp.where(walk, st.ry, 0.0)
+    rzk = jnp.where(walk, st.rz, 0.0)
+    (voxs, xs, ys, zs, rxs, rys, rzs, qs, uxs, uys, uzs, tgt_s,
+     pcode_s, rxt, ryt, rzt) = jax.lax.sort(
+        [voxk, st.x, st.y, st.z, rxk, ryk, rzk, st.q,
+         st.ux, st.uy, st.uz, tgt.astype(jnp.int32),
+         st.pcode.astype(jnp.int32), st.rx, st.ry, st.rz],
+        num_keys=1)
+    walk_s = (rxs != 0) | (rys != 0) | (rzs != 0)
+
+    pstate11 = jnp.stack([xs, ys, zs, rxs, rys, rzs, qs,
+                          voxs.astype(jnp.float32), uxs, uys, uzs], axis=0)
+    ko = dict(kernel_opts or {})
+    acc_t, pout2, in_win2 = pk.fused_push_walk(
+        voxs, pstate11, table_t, params, strides, nvk,
+        n_walk=n_walk, resume=True, **ko)
+    if tiled:
+        acc = acc + untile_acc(acc_t, g)
+    else:
+        acc = acc + acc_t[:, :g.nv].T
+
+    # ---- the small XLA tail: kernel exports + window escapees ----
+    expt2 = ((pout2[pk.PEXPT] > 0.5) | ~in_win2) & walk_s
+    sel2, n2, valid2 = compact_indices(expt2, K2, K)
+    safe2 = jnp.where(valid2, sel2, 0)
+    pf2 = pout2[:, safe2]            # ONE (16, K2) column gather
+    ps2 = pstate11[:, safe2]         # sorted inputs (u, q) in one gather
+    kv2 = (pf2[pk.PVOX] + 0.5).astype(jnp.int32)
+    vox2 = (pk.vox_of_t(g, jnp.clip(kv2, 0, nvk - 1)) if tiled else kv2)
+    st3 = WalkState(
+        x=pf2[pk.PX], y=pf2[pk.PY], z=pf2[pk.PZ],
+        vox=vox2,
+        ux=ps2[8], uy=ps2[9], uz=ps2[10],
+        rx=pf2[pk.PRX], ry=pf2[pk.PRY], rz=pf2[pk.PRZ],
+        q=jnp.where(valid2, ps2[6], 0.0),
+        pcode=jnp.zeros((K2,), jnp.int32),
+        active=valid2,
+    )
+    stype3 = (pf2[pk.PTYPE] + 0.5).astype(jnp.int32)
+    dir3 = pf2[pk.PDIR]
+    pos3 = (st3.x, st3.y, st3.z)
+    rem3 = (st3.rx, st3.ry, st3.rz)
+    st3 = resolve_crossing(st3, pos3, rem3, (st3.ux, st3.uy, st3.uz),
+                           pos3, rem3, stype3, (dir3, dir3, dir3),
+                           neighbor, g)
+    walk3 = valid2 & (st3.pcode == 0) & (
+        (st3.rx != 0) | (st3.ry != 0) | (st3.rz != 0))
+    st3 = st3._replace(active=walk3)
+    st3, acc = streak_walk(st3, acc, neighbor, g, n_walk)
+    pend3 = st3.pcode != 0
+
+    # ---- merge: pout2 passthrough, true-rem restore, stage-3 override --
+    # one stacked (9, K) scatter for the float quantities
+    tgt2 = jnp.where(valid2, sel2, K)
+    base = jnp.stack([
+        pout2[pk.PX], pout2[pk.PY], pout2[pk.PZ], uxs, uys, uzs,
+        jnp.where(walk_s, 0.0, rxt), jnp.where(walk_s, 0.0, ryt),
+        jnp.where(walk_s, 0.0, rzt)], axis=0)               # (9, K)
+    vals = jnp.stack([
+        st3.x, st3.y, st3.z, st3.ux, st3.uy, st3.uz,
+        jnp.where(pend3, st3.rx, 0.0), jnp.where(pend3, st3.ry, 0.0),
+        jnp.where(pend3, st3.rz, 0.0)], axis=0)             # (9, K2)
+    F = base.at[:, tgt2].set(vals, mode="drop")
+    x_f, y_f, z_f = F[0], F[1], F[2]
+    ux_f, uy_f, uz_f = F[3], F[4], F[5]
+    rx_f, ry_f, rz_f = F[6], F[7], F[8]
+    kvK = (pout2[pk.PVOX] + 0.5).astype(jnp.int32)
+    vox_f = pk.vox_of_t(g, jnp.clip(kvK, 0, nvk - 1)) if tiled else kvK
+    vox_f = vox_f.at[tgt2].set(st3.vox, mode="drop")
+    pcode_f = pcode_s.at[tgt2].set(st3.pcode, mode="drop")
+    # exports beyond the K2 cap keep their frozen kernel state; their
+    # pending displacement is dropped and counted (advance.cxx:98-103)
+    n_drop = jnp.maximum(n2 - jnp.sum(valid2).astype(jnp.int32), 0)
+    return (x_f, y_f, z_f, ux_f, uy_f, uz_f, qs, vox_f,
+            rx_f, ry_f, rz_f, pcode_f, tgt_s, acc, n_drop)
+
+
 def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
               max_nm: int | None = None, n_walk: int = 4,
               sorted_deposit: bool = False, fused: bool = False,
@@ -670,15 +791,21 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     # ---- compacted fix-up buffer ----
     # The kernel passes out-of-window lanes straight through, so the pout
     # rows already hold the ORIGINAL pre-push state for redo lanes and the
-    # frozen mid-walk state for exports: one compacted gather per quantity
-    # covers both cases (no per-column sp.* gathers).
+    # frozen mid-walk state for exports: ONE compacted column gather of
+    # the whole (16, np) pout block covers every quantity (13 separate
+    # row gathers cost ~0.25 ms EACH at K ~ 88k on a v5e).
     sel, n_fix, valid = compact_indices_hier(fix, K, max_np)
     safe = jnp.where(valid, sel, 0)
     redo = valid & ~in_win[safe]          # never pushed (sort drift)
 
-    px_f, py_f, pz_f = dx[safe], dy[safe], dz[safe]
-    ux_f, uy_f, uz_f = uxo[safe], uyo[safe], uzo[safe]
-    vox_f = vox_o[safe]     # redo -> original voxel, export -> kernel voxel
+    pf = pout[:, safe]                                      # (16, K)
+    px_f, py_f, pz_f = pf[pk.PX], pf[pk.PY], pf[pk.PZ]
+    ux_f, uy_f, uz_f = pf[pk.PUX], pf[pk.PUY], pf[pk.PUZ]
+    # redo -> original voxel, export -> kernel voxel (PVOX passthrough
+    # covers both); the tiled mapping runs on K lanes, not max_np
+    kvox_f = (pf[pk.PVOX] + 0.5).astype(jnp.int32)
+    vox_f = (pk.vox_of_t(g, jnp.clip(kvox_f, 0, nvk - 1)) if tiled
+             else kvox_f)
 
     # out-of-window lanes redo the full push from their original state
     ipr = interp[jnp.where(redo, jnp.maximum(vox_f, 0), 0)]
@@ -694,16 +821,15 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
         ux=mix(rux, ux_f),
         uy=mix(ruy, uy_f),
         uz=mix(ruz, uz_f),
-        rx=mix(rrx, pout[pk.PRX][safe]),
-        ry=mix(rry, pout[pk.PRY][safe]),
-        rz=mix(rrz, pout[pk.PRZ][safe]),
-        q=jnp.where(valid, sp.q[safe], 0.0),
+        rx=mix(rrx, pf[pk.PRX]),
+        ry=mix(rry, pf[pk.PRY]),
+        rz=mix(rrz, pf[pk.PRZ]),
+        q=jnp.where(valid, pf[pk.PQ], 0.0),
         pcode=jnp.zeros((K,), jnp.int32),
         active=valid,
     )
-    stype_b = jnp.where(redo, 3,
-                        (pout[pk.PTYPE][safe] + 0.5).astype(jnp.int32))
-    dir_b = jnp.where(redo, 0.0, pout[pk.PDIR][safe])
+    stype_b = jnp.where(redo, 3, (pf[pk.PTYPE] + 0.5).astype(jnp.int32))
+    dir_b = jnp.where(redo, 0.0, pf[pk.PDIR])
     pos_b = (st_in.x, st_in.y, st_in.z)
     rem_b = (st_in.rx, st_in.ry, st_in.rz)
     st = resolve_crossing(st_in, pos_b, rem_b,
@@ -715,28 +841,44 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     walk = valid & (st.pcode == 0) & (
         (st.rx != 0) | (st.ry != 0) | (st.rz != 0))
     st = st._replace(active=walk)
-    st, acc = streak_walk(st, acc, neighbor, g, n_walk)
+    tgt = jnp.where(valid, sel, max_np)
+    zf = jnp.zeros((max_np,), jnp.float32)
+
+    if _resume_enabled():
+        # second fused-kernel pass finishes the walk; only its exports
+        # take the XLA streak walker (see _resume_fixup)
+        (x_f, y_f, z_f, uxf, uyf, uzf, _, vox_fo,
+         rx_f, ry_f, rz_f, pcode_f, tgt_w, acc, n_drop) = _resume_fixup(
+            st, tgt, acc, neighbor, g, tiled, n_walk, table_t,
+            params, strides, nvk, kernel_opts=ko)
+    else:
+        st, acc = streak_walk(st, acc, neighbor, g, n_walk)
+        pend = st.pcode != 0
+        x_f, y_f, z_f = st.x, st.y, st.z
+        uxf, uyf, uzf = st.ux, st.uy, st.uz
+        vox_fo, pcode_f, tgt_w = st.vox, st.pcode, tgt
+        rx_f = jnp.where(pend, st.rx, 0.0)
+        ry_f = jnp.where(pend, st.ry, 0.0)
+        rz_f = jnp.where(pend, st.rz, 0.0)
+        n_drop = jnp.int32(0)
 
     # ---- scatter the fix-up results back ----
-    tgt = jnp.where(valid, sel, max_np)
-
     def put(full, vals):
-        return full.at[tgt].set(vals, mode="drop")
+        return full.at[tgt_w].set(vals, mode="drop")
 
-    dx, dy, dz = put(dx, st.x), put(dy, st.y), put(dz, st.z)
-    uxo, uyo, uzo = put(uxo, st.ux), put(uyo, st.uy), put(uzo, st.uz)
-    vox_o = put(vox_o, st.vox)
-    pend = st.pcode != 0
-    zf = jnp.zeros((max_np,), jnp.float32)
-    pc = jnp.zeros((max_np,), jnp.int32).at[tgt].set(st.pcode, mode="drop")
-    mdx = zf.at[tgt].set(jnp.where(pend, st.rx, 0.0), mode="drop")
-    mdy = zf.at[tgt].set(jnp.where(pend, st.ry, 0.0), mode="drop")
-    mdz = zf.at[tgt].set(jnp.where(pend, st.rz, 0.0), mode="drop")
+    dx, dy, dz = put(dx, x_f), put(dy, y_f), put(dz, z_f)
+    uxo, uyo, uzo = put(uxo, uxf), put(uyo, uyf), put(uzo, uzf)
+    vox_o = put(vox_o, vox_fo)
+    pc = jnp.zeros((max_np,), jnp.int32).at[tgt_w].set(pcode_f,
+                                                       mode="drop")
+    mdx = zf.at[tgt_w].set(rx_f, mode="drop")
+    mdy = zf.at[tgt_w].set(ry_f, mode="drop")
+    mdz = zf.at[tgt_w].set(rz_f, mode="drop")
 
     # fix-lanes beyond capacity keep their frozen kernel state; their
     # remaining displacement is dropped and counted, mirroring the
     # "Ignoring %i unprocessed movers" semantics (advance.cxx:98-103)
-    nm = (jnp.sum(pend).astype(jnp.int32)
+    nm = (jnp.sum(pcode_f != 0).astype(jnp.int32) + n_drop
           + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0))
 
     sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox_o, ux=uxo, uy=uyo, uz=uzo,
@@ -843,12 +985,11 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
     safe = jnp.where(valid, sel, 0)
     redo = valid & ~in_win[safe]
 
-    px_f, py_f, pz_f = (pout[pk.PX][safe], pout[pk.PY][safe],
-                        pout[pk.PZ][safe])
-    ux_f, uy_f, uz_f = (pout[pk.PUX][safe], pout[pk.PUY][safe],
-                        pout[pk.PUZ][safe])
-    q_f = jnp.where(valid, pout[pk.PQ][safe], 0.0)
-    kvox_f = (pout[pk.PVOX][safe] + 0.5).astype(jnp.int32)
+    pf = pout[:, safe]     # ONE (16, K) column gather for every quantity
+    px_f, py_f, pz_f = pf[pk.PX], pf[pk.PY], pf[pk.PZ]
+    ux_f, uy_f, uz_f = pf[pk.PUX], pf[pk.PUY], pf[pk.PUZ]
+    q_f = jnp.where(valid, pf[pk.PQ], 0.0)
+    kvox_f = (pf[pk.PVOX] + 0.5).astype(jnp.int32)
     vox_f = (pk.vox_of_t(g, jnp.clip(kvox_f, 0, nvk - 1)) if tiled
              else kvox_f)                      # untiled for the walk
 
@@ -862,13 +1003,12 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
     st_in = WalkState(
         x=px_f, y=py_f, z=pz_f, vox=vox_f,
         ux=mix(rux, ux_f), uy=mix(ruy, uy_f), uz=mix(ruz, uz_f),
-        rx=mix(rrx, pout[pk.PRX][safe]),
-        ry=mix(rry, pout[pk.PRY][safe]),
-        rz=mix(rrz, pout[pk.PRZ][safe]),
+        rx=mix(rrx, pf[pk.PRX]),
+        ry=mix(rry, pf[pk.PRY]),
+        rz=mix(rrz, pf[pk.PRZ]),
         q=q_f, pcode=jnp.zeros((K,), jnp.int32), active=valid)
-    stype_b = jnp.where(redo, 3,
-                        (pout[pk.PTYPE][safe] + 0.5).astype(jnp.int32))
-    dir_b = jnp.where(redo, 0.0, pout[pk.PDIR][safe])
+    stype_b = jnp.where(redo, 3, (pf[pk.PTYPE] + 0.5).astype(jnp.int32))
+    dir_b = jnp.where(redo, 0.0, pf[pk.PDIR])
     pos_b = (st_in.x, st_in.y, st_in.z)
     rem_b = (st_in.rx, st_in.ry, st_in.rz)
     st = resolve_crossing(st_in, pos_b, rem_b,
@@ -877,19 +1017,29 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
     walk = valid & (st.pcode == 0) & (
         (st.rx != 0) | (st.ry != 0) | (st.rz != 0))
     st = st._replace(active=walk)
-    st, acc = streak_walk(st, acc, neighbor, g, n_walk)
+    tgt = jnp.where(valid, sel, max_np)
+
+    if _resume_enabled():
+        (x_f, y_f, z_f, uxf, uyf, uzf, q_s, vox_fo,
+         _, _, _, pcode_f, tgt_w, acc, n_drop) = _resume_fixup(
+            st, tgt, acc, neighbor, g, tiled, n_walk, table_t,
+            params, strides, nvk, kernel_opts=ko)
+    else:
+        st, acc = streak_walk(st, acc, neighbor, g, n_walk)
+        x_f, y_f, z_f = st.x, st.y, st.z
+        uxf, uyf, uzf = st.ux, st.uy, st.uz
+        vox_fo, pcode_f, tgt_w, q_s = st.vox, st.pcode, tgt, q_f
+        n_drop = jnp.int32(0)
 
     # ---- one (8, K) scatter back into the state block ----
-    tgt = jnp.where(valid, sel, max_np)
-    voxk_new = (pk.tvox_of(g, jnp.maximum(st.vox, 0)) if tiled
-                else st.vox).astype(jnp.float32)
-    upd = jnp.stack([st.x, st.y, st.z, st.ux, st.uy, st.uz,
-                     q_f, voxk_new], axis=0)          # (8, K)
-    new_pk = pout[0:8].at[:, tgt].set(upd, mode="drop")
+    voxk_new = (pk.tvox_of(g, jnp.maximum(vox_fo, 0)) if tiled
+                else vox_fo).astype(jnp.float32)
+    upd = jnp.stack([x_f, y_f, z_f, uxf, uyf, uzf,
+                     q_s, voxk_new], axis=0)          # (8, K)
+    new_pk = pout[0:8].at[:, tgt_w].set(upd, mode="drop")
 
-    pend = st.pcode != 0
     # packed cycles have no boundary rounds: pending movers are dropped
     # and counted (advance.cxx:98-103 semantics)
-    nm = (jnp.sum(pend).astype(jnp.int32)
+    nm = (jnp.sum(pcode_f != 0).astype(jnp.int32) + n_drop
           + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0))
     return psp.replace(pk=new_pk, nm=psp.nm + nm), acc

@@ -194,7 +194,7 @@ def deposit_groups(strides, n_walk: int) -> tuple:
 
 def _kernel(starts_ref, params_ref, pstate_ref,
             win_ref, acc_ref, pout_ref, *, window, n_walk, resident,
-            perblock, rw, strides, skip_deposit=False):
+            perblock, rw, strides, skip_deposit=False, resume=False):
     """Kernel body.  ``rw`` (row width) picks the layout:
 
     - rw=LANE: historical row loop — each 128-lane row runs the walk on
@@ -277,74 +277,100 @@ def _kernel(starts_ref, params_ref, pstate_ref,
     # with its 8 mantissa bits) and ride as single rows; the N_TABLE pad
     # rows are dropped.  M = 3*18 + 7 = 61 rows instead of 3*32 = 96 —
     # ~36% fewer MXU row-streams on the gather dot, bitwise-equal result.
+    # RESUME mode (mid-walk lanes re-entering after an XLA crossing
+    # resolve) needs no interpolator at all: only the 7 exc rows ride.
     N_EXC = 7
-    win3cat = jnp.concatenate(
-        split3(win[0:18]) + (win[EXC_ROW:EXC_ROW + N_EXC]
-                             .astype(jnp.bfloat16),), axis=0)  # (61, W)
+    if resume:
+        win_exc = win[EXC_ROW:EXC_ROW + N_EXC].astype(jnp.bfloat16)
+    else:
+        win3cat = jnp.concatenate(
+            split3(win[0:18]) + (win[EXC_ROW:EXC_ROW + N_EXC]
+                                 .astype(jnp.bfloat16),), axis=0)  # (61, W)
 
     def row_body(r, blk):
         r128 = r * jnp.int32(rw)
-        ps = pstate_ref[:, pl.ds(r128, rw)]                    # (8, rw)
+        ps = pstate_ref[:, pl.ds(r128, rw)]                # (8|11, rw)
         loc0 = ps[7:8].astype(jnp.int32) - start               # (1,rw) int32
         inb = (loc0 >= 0) & (loc0 < window)
         ohT = ((jnp.where(inb, loc0, jnp.int32(-1)) == iota_w)
                ).astype(jnp.bfloat16)                           # (W, rw)
 
-        # ---- gather: one (61, W) x (W, rw) dot; interp rows exact via
-        # the M-batched 3-pass recombine, exc rows pass through ----
         gdims = (((1,), (0,)), ((), ()))
-        D = jax.lax.dot_general(win3cat, ohT, dimension_numbers=gdims,
-                                preferred_element_type=jnp.float32)
-        C = (D[0:18] + D[18:36]) + D[36:54]
-        CE = D[54:54 + N_EXC]                     # exc + 6 shifted-exc rows
         dx0, dy0, dz0 = ps[0:1], ps[1:2], ps[2:3]
-        ux0, uy0, uz0 = ps[3:4], ps[4:5], ps[5:6]
         q = ps[6:7]
 
-        c = lambda k: C[k:k + 1, :]
-        # interpolate E/B (advance_p.cxx:74-82)
-        hax = qdt_2mc * ((c(IP["ex"]) + dy0 * c(IP["dexdy"]))
-                         + dz0 * (c(IP["dexdz"]) + dy0 * c(IP["d2exdydz"])))
-        hay = qdt_2mc * ((c(IP["ey"]) + dz0 * c(IP["deydz"]))
-                         + dx0 * (c(IP["deydx"]) + dz0 * c(IP["d2eydzdx"])))
-        haz = qdt_2mc * ((c(IP["ez"]) + dx0 * c(IP["dezdx"]))
-                         + dy0 * (c(IP["dezdy"]) + dx0 * c(IP["d2ezdxdy"])))
-        cbx = c(IP["cbx"]) + dx0 * c(IP["dcbxdx"])
-        cby = c(IP["cby"]) + dy0 * c(IP["dcbydy"])
-        cbz = c(IP["cbz"]) + dz0 * c(IP["dcbzdz"])
+        if resume:
+            # rows [x y z rx ry rz q vox ux uy uz]: the push already
+            # happened — gather only the exc rows and walk from (pos,
+            # rem); momentum is a pure passthrough (reflect faces are
+            # exceptions, resolved by the XLA stage)
+            CE = jax.lax.dot_general(win_exc, ohT, dimension_numbers=gdims,
+                                     preferred_element_type=jnp.float32)
+            rem = (ps[3:4], ps[4:5], ps[5:6])
+            pux, puy, puz = ps[8:9], ps[9:10], ps[10:11]
+            # out-of-window lanes keep their pending displacement
+            prx = jnp.where(inb, jnp.zeros_like(q), ps[3:4])
+            pry = jnp.where(inb, jnp.zeros_like(q), ps[4:5])
+            prz = jnp.where(inb, jnp.zeros_like(q), ps[5:6])
+        else:
+            # ---- gather: one (61, W) x (W, rw) dot; interp rows exact
+            # via the M-batched 3-pass recombine, exc rows pass through
+            D = jax.lax.dot_general(win3cat, ohT, dimension_numbers=gdims,
+                                    preferred_element_type=jnp.float32)
+            C = (D[0:18] + D[18:36]) + D[36:54]
+            CE = D[54:54 + N_EXC]                 # exc + 6 shifted-exc rows
+            ux0, uy0, uz0 = ps[3:4], ps[4:5], ps[5:6]
 
-        # Boris (advance_p.cxx:87-105)
-        ux = ux0 + hax
-        uy = uy0 + hay
-        uz = uz0 + haz
-        v0 = qdt_2mc * jax.lax.rsqrt(one + (ux * ux + (uy * uy + uz * uz)))
-        v1 = cbx * cbx + (cby * cby + cbz * cbz)
-        v2 = (v0 * v0) * v1
-        v3 = v0 * (one + v2 * (jnp.float32(ONE_THIRD)
-                               + v2 * jnp.float32(TWO_FIFTEENTHS)))
-        v4 = v3 / (one + v1 * (v3 * v3))
-        v4 = v4 + v4
-        w0 = ux + v3 * (uy * cbz - uz * cby)
-        w1 = uy + v3 * (uz * cbx - ux * cbz)
-        w2 = uz + v3 * (ux * cby - uy * cbx)
-        ux = ux + v4 * (w1 * cbz - w2 * cby)
-        uy = uy + v4 * (w2 * cbx - w0 * cbz)
-        uz = uz + v4 * (w0 * cby - w1 * cbx)
-        ux = ux + hax
-        uy = uy + hay
-        uz = uz + haz
+            c = lambda k: C[k:k + 1, :]
+            # interpolate E/B (advance_p.cxx:74-82)
+            hax = qdt_2mc * ((c(IP["ex"]) + dy0 * c(IP["dexdy"]))
+                             + dz0 * (c(IP["dexdz"])
+                                      + dy0 * c(IP["d2exdydz"])))
+            hay = qdt_2mc * ((c(IP["ey"]) + dz0 * c(IP["deydz"]))
+                             + dx0 * (c(IP["deydx"])
+                                      + dz0 * c(IP["d2eydzdx"])))
+            haz = qdt_2mc * ((c(IP["ez"]) + dx0 * c(IP["dezdx"]))
+                             + dy0 * (c(IP["dezdy"])
+                                      + dx0 * c(IP["d2ezdxdy"])))
+            cbx = c(IP["cbx"]) + dx0 * c(IP["dcbxdx"])
+            cby = c(IP["cby"]) + dy0 * c(IP["dcbydy"])
+            cbz = c(IP["cbz"]) + dz0 * c(IP["dcbzdz"])
 
-        v0 = jax.lax.rsqrt(one + (ux * ux + (uy * uy + uz * uz)))
-        rem = ((ux * cdt[0]) * v0, (uy * cdt[1]) * v0, (uz * cdt[2]) * v0)
+            # Boris (advance_p.cxx:87-105)
+            ux = ux0 + hax
+            uy = uy0 + hay
+            uz = uz0 + haz
+            v0 = qdt_2mc * jax.lax.rsqrt(
+                one + (ux * ux + (uy * uy + uz * uz)))
+            v1 = cbx * cbx + (cby * cby + cbz * cbz)
+            v2 = (v0 * v0) * v1
+            v3 = v0 * (one + v2 * (jnp.float32(ONE_THIRD)
+                                   + v2 * jnp.float32(TWO_FIFTEENTHS)))
+            v4 = v3 / (one + v1 * (v3 * v3))
+            v4 = v4 + v4
+            w0 = ux + v3 * (uy * cbz - uz * cby)
+            w1 = uy + v3 * (uz * cbx - ux * cbz)
+            w2 = uz + v3 * (ux * cby - uy * cbx)
+            ux = ux + v4 * (w1 * cbz - w2 * cby)
+            uy = uy + v4 * (w2 * cbx - w0 * cbz)
+            uz = uz + v4 * (w0 * cby - w1 * cbx)
+            ux = ux + hax
+            uy = uy + hay
+            uz = uz + haz
 
-        # out-of-window lanes pass their inputs straight through
-        pux = jnp.where(inb, ux, ux0)
-        puy = jnp.where(inb, uy, uy0)
-        puz = jnp.where(inb, uz, uz0)
+            v0 = jax.lax.rsqrt(one + (ux * ux + (uy * uy + uz * uz)))
+            rem = ((ux * cdt[0]) * v0, (uy * cdt[1]) * v0,
+                   (uz * cdt[2]) * v0)
+
+            # out-of-window lanes pass their inputs straight through
+            pux = jnp.where(inb, ux, ux0)
+            puy = jnp.where(inb, uy, uy0)
+            puz = jnp.where(inb, uz, uz0)
+            prx = jnp.zeros_like(q)
+            pry = jnp.zeros_like(q)
+            prz = jnp.zeros_like(q)
+
         pox, poy, poz = dx0, dy0, dz0
-        prx = jnp.zeros_like(q)
-        pry = jnp.zeros_like(q)
-        prz = jnp.zeros_like(q)
         ptype = jnp.full_like(loc0, 3)
         pdir = jnp.zeros_like(q)
         pexpt = jnp.zeros_like(q)
@@ -401,6 +427,11 @@ def _kernel(starts_ref, params_ref, pstate_ref,
                 ]
             contrib = jnp.concatenate(contrib, axis=0)         # (12, rw)
             if not skip_deposit:   # perf-diagnosis knob only
+                # (A transposed form — ohT as LHS streaming W rows, then
+                # transposing the (W, 36) result — wins 2.3x in an
+                # isolated dot probe but measured SLOWER composed in this
+                # kernel: +1.2 ms/call at 2.125M.  Keep the row-major
+                # dot; Mosaic pipelines it with the walk math.)
                 blk = blk + dot3(contrib, ohT, (((1,), (1,)), ((), ())),
                                  12)
 
@@ -517,12 +548,13 @@ def _kernel(starts_ref, params_ref, pstate_ref,
 @functools.partial(jax.jit,
                    static_argnames=("strides", "nv", "n_walk", "block",
                                     "window", "pre", "resident", "perblock",
-                                    "skip_deposit", "wide"))
+                                    "skip_deposit", "wide", "resume"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
                     pre: int = PRE, resident: bool | None = None,
                     perblock: bool | None = None,
-                    skip_deposit: bool = False, wide: bool = True):
+                    skip_deposit: bool = False, wide: bool = True,
+                    resume: bool = False):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -564,13 +596,19 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     # the kernel recomputes loc from the voxel (pstate row 7, f32-exact
     # below 2^24); only in_window is needed host-side.  A 7-row pstate
     # gets the voxel appended; the packed-cycle path passes the kernel's
-    # own 8-row layout (vox already row 7) straight through.
-    if nr == 7:
+    # own 8-row layout (vox already row 7) straight through; RESUME mode
+    # takes 11 rows [x y z rx ry rz q vox ux uy uz] (mid-walk lanes, the
+    # push already applied — momentum is a passthrough).
+    if resume:
+        assert nr == 11, nr
+        pstate_in = pstate_t                                    # (11, npad)
+    elif nr == 7:
         pstate_in = jnp.concatenate(
             [pstate_t, vox.astype(jnp.float32)[None, :]], axis=0)
     else:
         assert nr == 8, nr
         pstate_in = pstate_t                                    # (8, npad)
+    nri = pstate_in.shape[0]
     # the (12, nv_pad) accumulator stays VMEM-resident on small grids;
     # large grids use per-block output slabs + the combine epilogue
     if perblock is None:
@@ -598,7 +636,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((8, block), lambda i, s, p: (np.int32(0), i),
+            pl.BlockSpec((nri, block), lambda i, s, p: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
             (pl.BlockSpec((N_TABLE, nv_pad),
                           lambda i, s, p: (np.int32(0), np.int32(0)),
@@ -625,7 +663,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                           resident=resident, perblock=perblock,
                           rw=block if wide else LANE,
                           strides=tuple(int(x) for x in strides),
-                          skip_deposit=skip_deposit),
+                          skip_deposit=skip_deposit, resume=resume),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=15 * 2 ** 20),
