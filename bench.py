@@ -22,7 +22,7 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 128))
     ny = int(os.environ.get("BENCH_NY", 128))
     nz = int(os.environ.get("BENCH_NZ", 1))
-    steps = int(os.environ.get("BENCH_STEPS", 16))
+    steps = int(os.environ.get("BENCH_STEPS", 32))
     resort = int(os.environ.get("BENCH_RESORT", 2))
     ion_mult = int(os.environ.get("BENCH_ION_MULT", 4))
 

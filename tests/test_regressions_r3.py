@@ -222,13 +222,20 @@ def test_per_species_sort_cadence_dispatch():
     sim._advance_cycle_b = rec("B")
     sim._cycles_scan = lambda m: rec(f"SA{m}")
     sim._cycles_scan_b = lambda m: rec(f"SB{m}")
+    sim._supercycles_scan = lambda s: rec(f"SC{s}")
     sim._advance_fn = rec("s")
     sim._advance_fn_nosort = rec("n")
 
     sim.step_count = 0
-    sim.advance(24)
-    assert calls == ["A", "SB3", "A", "SB3", "A", "SB3"]
+    sim.advance(24)          # 3 whole super-cycles: ONE dispatch
+    assert calls == ["SC3"]
     assert sim.step_count == 24
+
+    calls.clear()
+    sim.step_count = 0
+    sim.advance(28)          # 3 super-cycles + A + single B
+    assert calls == ["SC3", "A", "B"]
+    assert sim.step_count == 28
 
     calls.clear()
     sim.step_count = 0

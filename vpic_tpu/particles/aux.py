@@ -178,7 +178,9 @@ def sort_p(sp: SpeciesState, g: Grid | None = None) -> SpeciesState:
         cols.append(sp.q)
     if sp.has_tags:
         cols.append(sp.tag)
-    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=True)
+    # unstable: intra-voxel lane order is physically meaningless (deposits
+    # are linear sums) and the unstable network is ~12% cheaper on-chip
+    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=False)
     key_s = out[0]
     dx, dy, dz, ux, uy, uz = out[1:7]
     rest = list(out[7:])
@@ -224,7 +226,7 @@ def sort_p_packed(psp, g: Grid):
     cols = [p[0], p[1], p[2], p[3], p[4], p[5]]
     if not psp.uniform_q:
         cols.append(p[6])
-    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=True)
+    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=False)
     key_s = out[0]
     if psp.uniform_q:
         qv = p[6][jnp.argmax(jnp.abs(p[6]))]
