@@ -194,6 +194,28 @@ def test_fused_tiled_layout_matches():
         pk.use_tiled = orig
 
 
+def test_fused_xy_tiled_layout_matches():
+    """The xy-tiled 3D kernel layout (z-crossings at +-128, xy in one
+    (tx x ty) lane tile, seam crossings exported) must match the unfused
+    reference.  The tiny grid fits one tile, so seams coincide with the
+    domain faces; a second pass with (4, 32) forces interior x seams."""
+    if not _needs_cpu("test_fused_xy_tiled_layout_matches"):
+        return
+    from vpic_tpu.particles import push_pallas as pk
+
+    orig_use, orig_shape = pk.use_tiled, pk.tile_shape
+    for shape in ((16, 8), (4, 32)):
+        pk.use_tiled = lambda g: True
+        pk.tile_shape = lambda g, s=shape: s
+        try:
+            for pbc in ((PERIODIC_FIELDS,) * 6,
+                        (NEIGHBOR_REFLECT, NEIGHBOR_ABSORB)
+                        + (PERIODIC_FIELDS,) * 4):
+                _check_fused_matches_unfused(False, pbc)
+        finally:
+            pk.use_tiled, pk.tile_shape = orig_use, orig_shape
+
+
 def test_fused_unsorted_redo_path():
     """Badly unsorted particles exercise the out-of-window redo path."""
     if not _needs_cpu("test_fused_unsorted_redo_path"):

@@ -293,8 +293,13 @@ class Simulation:
         return m
 
     def define_species(self, name, q_m, max_np, sort_interval=0):
+        # round capacity up to the fused kernel's block size: when max_np
+        # is a whole number of 1024-lane blocks, the kernel's internal pad
+        # (and the (16, np) pout slice undoing it) become identity ops —
+        # ~1 ms/step of pure HBM copies at 4M particles otherwise
         h = dict(name=name, sid=len(self._species), q_m=float(q_m),
-                 max_np=int(max_np), sort_interval=int(sort_interval),
+                 max_np=-(-int(max_np) // 1024) * 1024,
+                 sort_interval=int(sort_interval),
                  batches=[])
         self._species.append(h)
         return h
@@ -708,6 +713,33 @@ class Simulation:
                 donate_argnums=0)
         return fn
 
+    def _supercycles_scan(self, s: int):
+        """One executable for ``s`` whole super-cycles (an A cycle + the
+        (M-1) B cycles to the next A boundary).  The naive dispatch flow
+        issues 2 dispatches per super-cycle (A, then the scanned B run);
+        per-dispatch latency rivals several steps of device time on a
+        tunneled backend, so long advances fold into a single program."""
+        fn = self._cycles_scan_cache.get(("sc", s))
+        if fn is None:
+            M = self._cycle_mult
+            a = getattr(self, "_cycle_body_packed", None)
+            b = getattr(self, "_cycle_body_b_packed", None)
+            if a is None or b is None:   # packed pair or unpacked pair
+                a, b = self._cycle_body, self._cycle_body_b
+
+            def super_body(st):
+                st = a(st)
+                return jax.lax.scan(lambda s2, _: (b(s2), None), st,
+                                    None, length=M - 1)[0]
+
+            def run(st):
+                return jax.lax.scan(lambda s2, _: (super_body(s2), None),
+                                    st, None, length=s)[0]
+
+            fn = self._cycles_scan_cache[("sc", s)] = jax.jit(
+                run, donate_argnums=0)
+        return fn
+
     def _scan_run(self, body, body_packed, m: int):
         """m cycles via lax.scan.  With a packed body the carry is the
         PACKED state end-to-end (the caller holds a persistent packed
@@ -755,6 +787,13 @@ class Simulation:
                     and left >= k and self.step_count % k == 0):
                 M = getattr(self, "_cycle_mult", 1)
                 c = self.step_count // k
+                if M > 1 and c % M == 0 and left >= k * M:
+                    # whole super-cycles from an A boundary: one dispatch
+                    S = left // (k * M)
+                    self._dispatch_cycle(self._supercycles_scan(S))
+                    self.step_count += S * k * M
+                    left -= S * k * M
+                    continue
                 if M > 1 and c % M != 0:
                     # B cycles up to the next all-sort (A) boundary
                     m = min(left // k, M - (c % M))

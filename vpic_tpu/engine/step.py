@@ -264,6 +264,10 @@ def make_advance(
                                if _pk.use_tiled(g) else _pk.face_strides(g))
                     if any(abs(s) >= win for s in strides):
                         frac = min(frac, 24)
+                    elif _pk.use_tiled(g) and _pk.tile_shape(g)[1] > 1:
+                        # xy-tiled 3D: tile-seam crossings (~(1/tx+1/ty)
+                        # of transverse crossers) export every step
+                        frac = min(frac, 48)
                 fix_cap = max(8192, sp.max_np // frac)
             with scope("phase_push"):
                 if packed:

@@ -654,29 +654,48 @@ def _push_math(ip, dx, dy, dz, ux0, uy0, uz0, qdt_2mc, cdt):
 
 
 def tile_interp(interp, g: Grid):
-    """(18, nvt) tiled-x transposed interpolator via bulk pad/transpose/
+    """(18, nvt) tiled transposed interpolator via bulk pad/transpose/
     reshape — no gather (an nvt-row gather cost ~18 ms/step at 512^2)."""
     from . import push_pallas as pk
 
-    xt = (g.nxg + pk.TILE - 1) // pk.TILE
-    X = xt * pk.TILE
-    j = g.nzg * g.nyg
-    i3 = interp.reshape(j, g.nxg, 18)
-    i3 = jnp.pad(i3, ((0, 0), (0, X - g.nxg), (0, 0)))
-    # tiled index t = xtile*(j*128) + j_idx*128 + xoff
-    return i3.reshape(j, xt, pk.TILE, 18).transpose(
-        3, 1, 0, 2).reshape(18, xt * j * pk.TILE)
+    tx, ty = pk.tile_shape(g)
+    if ty == 1:
+        xt = (g.nxg + pk.TILE - 1) // pk.TILE
+        X = xt * pk.TILE
+        j = g.nzg * g.nyg
+        i3 = interp.reshape(j, g.nxg, 18)
+        i3 = jnp.pad(i3, ((0, 0), (0, X - g.nxg), (0, 0)))
+        # tiled index t = xtile*(j*128) + j_idx*128 + xoff
+        return i3.reshape(j, xt, pk.TILE, 18).transpose(
+            3, 1, 0, 2).reshape(18, xt * j * pk.TILE)
+    # xy tiling: t = ((yt*ntx + xt)*nzg + z)*128 + yo*tx + xo
+    ntx = (g.nxg + tx - 1) // tx
+    nty = (g.nyg + ty - 1) // ty
+    i4 = interp.reshape(g.nzg, g.nyg, g.nxg, 18)
+    i4 = jnp.pad(i4, ((0, 0), (0, nty * ty - g.nyg),
+                      (0, ntx * tx - g.nxg), (0, 0)))
+    return i4.reshape(g.nzg, nty, ty, ntx, tx, 18).transpose(
+        5, 1, 3, 0, 2, 4).reshape(18, nty * ntx * g.nzg * pk.TILE)
 
 
 def untile_acc(acc_t, g: Grid):
     """(12, nvt_pad) tiled accumulator -> (nv, 12) row-major, bulk ops."""
     from . import push_pallas as pk
 
-    xt = (g.nxg + pk.TILE - 1) // pk.TILE
-    X = xt * pk.TILE
-    j = g.nzg * g.nyg
-    a = acc_t[:, :xt * j * pk.TILE].reshape(12, xt, j, pk.TILE)
-    a = a.transpose(0, 2, 1, 3).reshape(12, j, X)[:, :, :g.nxg]
+    tx, ty = pk.tile_shape(g)
+    if ty == 1:
+        xt = (g.nxg + pk.TILE - 1) // pk.TILE
+        X = xt * pk.TILE
+        j = g.nzg * g.nyg
+        a = acc_t[:, :xt * j * pk.TILE].reshape(12, xt, j, pk.TILE)
+        a = a.transpose(0, 2, 1, 3).reshape(12, j, X)[:, :, :g.nxg]
+        return a.reshape(12, g.nv).T
+    ntx = (g.nxg + tx - 1) // tx
+    nty = (g.nyg + ty - 1) // ty
+    a = acc_t[:, :nty * ntx * g.nzg * pk.TILE].reshape(
+        12, nty, ntx, g.nzg, ty, tx)
+    a = a.transpose(0, 3, 1, 4, 2, 5).reshape(
+        12, g.nzg, nty * ty, ntx * tx)[:, :, :g.nyg, :g.nxg]
     return a.reshape(12, g.nv).T
 
 

@@ -83,15 +83,25 @@ def face_strides(g) -> tuple:
 
 
 # ---------------------------------------------------------------------------
-# Tiled-x voxel layout for large grids.
+# Tiled voxel layouts.
 #
-# The deposit/gather window must cover one transverse (y) crossing, which
-# in row-major voxel space is +-nxg — so W grows with the grid and a
-# 512^2 deck pays ~2.5x the 128^2 MXU passes.  Retiling x into 128-lane
-# columns (t = xtile*(nzg*nyg*128) + (z*nyg + y)*128 + xoff) makes a
-# y-crossing +-128 REGARDLESS of nxg: W stays 512 for every grid.  An
-# x-crossing is +-1 except across a tile seam (xoff 0/127), which the
-# existing exception-bit export path absorbs (~crossing_frac/64 of lanes).
+# The deposit/gather window must cover every interior crossing stride.
+# Row-major strides are (1, nxg, nxg*nyg) — so W grows with the grid (a
+# 512^2 deck would pay ~2.5x the 128^2 MXU passes) and EVERY z-crossing
+# of a real 3D grid escapes any window.  Two remappings fix this:
+#
+# - 2D / large nxg (ty == 1): retile x into 128-lane columns
+#   (t = xtile*(nzg*nyg*128) + (z*nyg + y)*128 + xoff), making a
+#   y-crossing +-128 REGARDLESS of nxg.  An x-crossing is +-1 except
+#   across a tile seam (xoff 0/127) — ~crossing_frac/64 of lanes ride
+#   the exception-export path.
+#
+# - 3D (ty > 1): pack a (tx x ty) = 128-lane xy tile with z as the
+#   128-stride block dimension (t = ((ytile*ntx + xtile)*nzg + z)*128
+#   + yoff*tx + xoff), so ALL axes cross at small static strides:
+#   x +-1, y +-tx, z +-128.  Tile-seam crossings (xoff==tx-1, yoff==ty-1
+#   edges, ~(1/tx + 1/ty) of crossers per transverse axis) export.
+#
 # Everything outside the kernel stays in normal voxel space; only the
 # kernel's inputs/outputs are converted (arithmetically — no gathers).
 # ---------------------------------------------------------------------------
@@ -99,55 +109,111 @@ def face_strides(g) -> tuple:
 TILE = 128
 
 
+def tile_shape(g) -> tuple:
+    """(tx, ty) lane-tile factors for this grid's tiled layout
+    (tx * ty == LANE).  3D grids tile xy so the z stride is +-128;
+    2D grids tile x alone (y rides the +-128 block stride)."""
+    if g.gnz > 1 and g.nxg * g.nyg > PRE:
+        return (16, 8)
+    return (TILE, 1)
+
+
 def use_tiled(g) -> bool:
-    """Tile when the row-major window would exceed the 512-lane sweet
+    """Tile 3D grids whose z stride (nxg*nyg) escapes the window bias,
+    and any grid whose row-major window would exceed the 512-lane sweet
     spot (nxg > 192)."""
+    if g.gnz > 1 and g.nxg * g.nyg > PRE:
+        return True
     return g.nxg > 192
 
 
+def _ntiles(g):
+    tx, ty = tile_shape(g)
+    return (g.nxg + tx - 1) // tx, (g.nyg + ty - 1) // ty
+
+
 def n_tiled(g) -> int:
-    xtiles = (g.nxg + TILE - 1) // TILE
-    return xtiles * g.nzg * g.nyg * TILE
+    ntx, nty = _ntiles(g)
+    return ntx * nty * g.nzg * TILE
 
 
 def tvox_of(g, vox):
     """Row-major voxel -> tiled index (elementwise arithmetic)."""
+    tx, ty = tile_shape(g)
     j = vox // g.nxg
     x = vox - j * g.nxg
-    xt = x // TILE
-    return xt * (g.nzg * g.nyg * TILE) + j * TILE + (x - xt * TILE)
+    if ty == 1:
+        xt = x // TILE
+        return xt * (g.nzg * g.nyg * TILE) + j * TILE + (x - xt * TILE)
+    z = j // g.nyg
+    y = j - z * g.nyg
+    xt = x // tx
+    yt = y // ty
+    ntx = (g.nxg + tx - 1) // tx
+    return (((yt * ntx + xt) * g.nzg + z) * TILE
+            + (y - yt * ty) * tx + (x - xt * tx))
+
+
+def _txyz_of_t(g, t):
+    """Tiled index -> (x, y, z) grid coordinates (pad lanes exceed
+    nxg/nyg)."""
+    tx, ty = tile_shape(g)
+    if ty == 1:
+        plane = g.nzg * g.nyg * TILE
+        xt = t // plane
+        r = t - xt * plane
+        j = r // TILE
+        x = xt * TILE + (r - j * TILE)
+        z = j // g.nyg
+        return x, j - z * g.nyg, z
+    lane = t % TILE
+    blk = t // TILE
+    z = blk % g.nzg
+    q = blk // g.nzg
+    ntx = (g.nxg + tx - 1) // tx
+    xt = q % ntx
+    yt = q // ntx
+    xo = lane % tx
+    return xt * tx + xo, yt * ty + (lane - xo) // tx, z
 
 
 def vox_of_t(g, t):
-    """Tiled index -> row-major voxel (pad columns map past nxg)."""
-    plane = g.nzg * g.nyg * TILE
-    xt = t // plane
-    r = t - xt * plane
-    j = r // TILE
-    xo = r - j * TILE
-    return j * g.nxg + xt * TILE + xo
+    """Tiled index -> row-major voxel (pad lanes map out of their cell
+    row; exception bits keep particles out of pad lanes)."""
+    tx, ty = tile_shape(g)
+    if ty == 1:
+        plane = g.nzg * g.nyg * TILE
+        xt = t // plane
+        r = t - xt * plane
+        j = r // TILE
+        xo = r - j * TILE
+        return j * g.nxg + xt * TILE + xo
+    x, y, z = _txyz_of_t(g, t)
+    return x + g.nxg * (y + g.nyg * z)
 
 
 def tiled_face_strides(g) -> tuple:
-    """Per-face strides in tiled space (x seams are exceptions)."""
+    """Per-face strides in tiled space (tile seams are exceptions)."""
+    tx, ty = tile_shape(g)
     sx = 1 if g.gnx > 1 else 0
-    sy = TILE if g.gny > 1 else 0
-    sz = TILE * g.nyg if g.gnz > 1 else 0
+    if ty == 1:
+        sy = TILE if g.gny > 1 else 0
+        sz = TILE * g.nyg if g.gnz > 1 else 0
+    else:
+        sy = tx if g.gny > 1 else 0
+        sz = TILE if g.gnz > 1 else 0
     return (-sx, -sy, -sz, sx, sy, sz)
 
 
 def tiled_exception_bits(neighbor, g) -> jax.Array:
     """(nvt,) f32 bitmask in tiled space: bit f set where the neighbor
     table disagrees with the tiled arithmetic stride — domain faces AND
-    x tile seams.  Pad columns (x >= nxg) are all-exception."""
+    tile seams.  Pad lanes (x >= nxg or y >= nyg) are all-exception."""
     nvt = n_tiled(g)
     t = jnp.arange(nvt, dtype=jnp.int32)
-    vox = vox_of_t(g, t)
-    # x coordinate of the tiled column (pad columns exceed the real grid)
-    plane = g.nzg * g.nyg * TILE
-    xt = t // plane
-    xo = t % TILE
-    in_grid = xt * TILE + xo < g.nxg
+    x, y, z = _txyz_of_t(g, t)
+    in_grid = (x < g.nxg) & (y < g.nyg)
+    vox = x + g.nxg * (y + g.nyg * z)
     vox_safe = jnp.where(in_grid, jnp.minimum(vox, g.nv - 1), 0)
     nb_rows = neighbor[vox_safe]                        # (nvt, 6)
     bits = jnp.zeros((nvt,), jnp.int32)
