@@ -29,8 +29,10 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build
 
+    n_walk = os.environ.get("BENCH_NWALK")
     sim = _build(nx=nx, ny=ny, nz=nz, npart=npart // 2,  # 2 species
-                 resort_interval=resort, ion_sort_mult=ion_mult)
+                 resort_interval=resort, ion_sort_mult=ion_mult,
+                 n_walk=int(n_walk) if n_walk else None)
 
     # The per-species sort cadence repeats every cycle_mult resort cycles
     # (A cycle: all species sort; B cycles: fast species only).  Round the

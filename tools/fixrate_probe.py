@@ -59,9 +59,11 @@ def main():
                 qdt_2mc, jnp.float32(g.cvac * g.dt * g.rdx),
                 jnp.float32(g.cvac * g.dt * g.rdy),
                 jnp.float32(g.cvac * g.dt * g.rdz)]).astype(jnp.float32)
+            n_walk = int(os.environ.get("PROBE_NWALK",
+                                        3 if nz == 1 else 4))
             _, pout, in_win = pk.fused_push_walk(
                 vox_k, pstate, table, params, strides, nvk,
-                n_walk=3 if nz == 1 else 4, window=window, pre=pre)
+                n_walk=n_walk, window=window, pre=pre)
             expt = int(jnp.sum((pout[pk.PEXPT] > 0.5) & alive))
             oow = int(jnp.sum(~in_win & alive))
             nm = int(np.asarray(sp.nm))
