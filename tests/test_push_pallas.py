@@ -362,6 +362,37 @@ def test_packed_cycle_matches_unpacked(monkeypatch=None):
         os.environ["VPIC_TPU_DISABLE_PALLAS"] = "1"
 
 
+def test_closed_deck_drops_no_movers():
+    """A closed periodic deck on the fused+packed bench path must process
+    EVERY mover: sp.nm == 0 after full super-cycles and np conserved.
+    Guards against 'drop-assisted' perf regressions — e.g. n_walk=2
+    benched +14% but silently dropped ~15% of lanes/step through fix-up
+    overflow (round-3 negative result, NOTES_ROUND3.md); this invariant
+    is what the reference WARNs about (advance.cxx:98-103) and a closed
+    box must keep at zero."""
+    if not _needs_cpu("test_closed_deck_drops_no_movers"):
+        return
+    from jax.experimental.pallas import tpu as pltpu2
+
+    os.environ["VPIC_TPU_FORCE_FUSED"] = "1"
+    os.environ.pop("VPIC_TPU_DISABLE_PALLAS", None)
+    try:
+        import __graft_entry__ as ge
+
+        with pltpu2.force_tpu_interpret_mode():
+            sim = ge._build(nx=8, ny=8, nz=1, npart=1500, ion_sort_mult=2)
+            np0 = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
+            sim.advance(8)          # 2 super-cycles (resort 2 x mult 2)
+            for sp in sim.state.species:
+                assert int(np.asarray(sp.nm)) == 0, sp.name
+            np1 = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
+            assert np1 == np0
+            assert all(np.isfinite(v) for v in sim.energies().values())
+    finally:
+        os.environ.pop("VPIC_TPU_FORCE_FUSED", None)
+        os.environ["VPIC_TPU_DISABLE_PALLAS"] = "1"
+
+
 def test_compact_indices_hier_matches_flat():
     """The gather/rank-select hierarchical compaction must reproduce the
     flat prefix-sum compaction (same stable index order, count, and
