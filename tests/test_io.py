@@ -105,6 +105,61 @@ def test_checkpoint_restore_determinism(tmp_path):
                                   ref_p)
 
 
+def test_checkpoint_pads_unaligned_capacity(tmp_path):
+    """A checkpoint whose particle columns were saved at a smaller
+    (pre-1024-alignment) capacity restores into the aligned template:
+    1-D leaves are zero-padded at the tail (dead slots are q=0/i=0 by
+    contract), everything else must match exactly."""
+    sim = make_warm_plasma(nx=6, ny=6, nz=1, npart=256, seed=5)
+    sim.advance(2)
+    sim.checkpoint(tmp_path / "ck")
+
+    # simulate an old-format file: truncate every full-capacity 1-D leaf
+    # to an unaligned length that still covers the live range
+    path = str(tmp_path / "ck") + ".npz"
+    data = dict(np.load(path))
+    max_np = sim.state.species[0].max_np
+    assert max_np % 1024 == 0
+    short = max(300, int(np.asarray(sim.state.species[0].np)))
+    for k, v in data.items():
+        if v.ndim == 1 and v.shape[0] == max_np:
+            data[k] = v[:short]
+    np.savez(path, **data)
+
+    sim.advance(3)
+    ref = {c: np.asarray(getattr(sim.state.field, c))
+           for c in ("ex", "ey", "cbz")}
+
+    sim2 = make_warm_plasma(nx=6, ny=6, nz=1, npart=256, seed=5)
+    sim2.restore(tmp_path / "ck")
+    sim2.advance(3)
+    for c, v in ref.items():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim2.state.field, c)), v, err_msg=c)
+
+
+def test_checkpoint_rejects_shape_mismatch(tmp_path):
+    """Non-repairable shape mismatches fail loudly (the reference restart
+    reader ABORTs on every size/dim mismatch, dump.cxx:566-797), not as
+    an obscure downstream shape error."""
+    import pytest
+
+    sim = make_warm_plasma(nx=6, ny=6, nz=1, npart=64, seed=1)
+    sim.checkpoint(tmp_path / "ck")
+
+    path = str(tmp_path / "ck") + ".npz"
+    data = dict(np.load(path))
+    for k, v in data.items():
+        if v.ndim == 3:                     # a field component
+            data[k] = v[:-1]
+            break
+    np.savez(path, **data)
+
+    sim2 = make_warm_plasma(nx=6, ny=6, nz=1, npart=64, seed=1)
+    with pytest.raises(ValueError, match="shape"):
+        sim2.restore(tmp_path / "ck")
+
+
 def test_rotating_checkpointer(tmp_path):
     from vpic_tpu.io.checkpoint import RotatingCheckpointer
 

@@ -22,7 +22,10 @@ import numpy as np
 
 from ..core.types import Grid, SimState
 
-FORMAT_VERSION = 1
+# v2: load_checkpoint validates leaf shapes and pads 1-D particle leaves
+# up to a larger template capacity (define_species rounds max_np to a
+# 1024 multiple since r3; older checkpoints carry unaligned capacities).
+FORMAT_VERSION = 2
 
 
 def _flatten(state: SimState):
@@ -61,15 +64,42 @@ def save_checkpoint(path, state: SimState, g: Grid, extra: dict = None):
 
 def load_checkpoint(path, template: SimState):
     """Load a checkpoint into the structure of ``template`` (a freshly
-    built SimState with identical configuration)."""
+    built SimState with identical configuration).
+
+    Leaf shapes are validated against the template (the reference restart
+    reader ABORTs on every size/dim mismatch, dump.cxx:566-797).  One
+    mismatch is repaired instead of rejected: a 1-D leaf SHORTER than the
+    template's (a particle column saved before/after a max_np capacity
+    change, e.g. the r3 1024-alignment of define_species) is zero-padded
+    at the tail — dead slots are exactly q=0/i=0, and ``np`` (a saved
+    scalar leaf) still bounds the live range."""
     data = np.load(str(path) + ".npz")
     leaves, treedef = _flatten(template)
+    n_saved = sum(1 for k in data.files)
+    if n_saved != len(leaves):
+        raise ValueError(
+            f"checkpoint {path} has {n_saved} leaves but the deck builds "
+            f"{len(leaves)} — the configuration (species/fields/handlers) "
+            "does not match the one that wrote it")
     out = []
     for k, leaf in enumerate(leaves):
         if f"key_{k}" in data:
             out.append(jax.random.wrap_key_data(data[f"key_{k}"]))
-        else:
-            out.append(jax.numpy.asarray(data[f"leaf_{k}"]))
+            continue
+        arr = data[f"leaf_{k}"]
+        want = tuple(getattr(leaf, "shape", ()) or ())
+        have = tuple(arr.shape)
+        if have != want:
+            if (len(have) == 1 and len(want) == 1 and have[0] < want[0]):
+                arr = np.concatenate(
+                    [arr, np.zeros((want[0] - have[0],), arr.dtype)])
+            else:
+                raise ValueError(
+                    f"checkpoint {path} leaf {k}: saved shape {have} vs "
+                    f"deck shape {want} — capacity or grid mismatch "
+                    "(rebuild the deck with the saved metadata: "
+                    "see load_meta())")
+        out.append(jax.numpy.asarray(arr))
     return jax.tree.unflatten(treedef, out)
 
 

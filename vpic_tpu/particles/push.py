@@ -329,6 +329,19 @@ def _resume_enabled() -> bool:
     return not os.environ.get("VPIC_TPU_DISABLE_RESUME")
 
 
+def _nm_debug(tag, **parts):
+    """VPIC_TPU_NM_DEBUG=1: print the mover-drop counter's components
+    from inside the jitted step (diagnosis aid for fix_cap sizing; the
+    counter itself is the advance.cxx:98-103 'Ignoring unprocessed
+    movers' analogue)."""
+    import os
+    if os.environ.get("VPIC_TPU_NM_DEBUG"):
+        keys = sorted(parts)
+        jax.debug.print(
+            "nm_debug " + tag + " " + " ".join(f"{k}={{{k}}}" for k in keys),
+            **parts)
+
+
 def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
                   n_walk: int, table_t, params, strides, nvk: int,
                   kernel_opts=None):
@@ -438,6 +451,8 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
     # exports beyond the K2 cap keep their frozen kernel state; their
     # pending displacement is dropped and counted (advance.cxx:98-103)
     n_drop = jnp.maximum(n2 - jnp.sum(valid2).astype(jnp.int32), 0)
+    _nm_debug("resume", n2=n2, K2=jnp.int32(K2),
+              exhausted=jnp.sum(pend3 & (st3.pcode == PC_EXHAUSTED)))
     return (x_f, y_f, z_f, ux_f, uy_f, uz_f, qs, vox_f,
             rx_f, ry_f, rz_f, pcode_f, tgt_s, acc, n_drop)
 
@@ -897,6 +912,8 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     # fix-lanes beyond capacity keep their frozen kernel state; their
     # remaining displacement is dropped and counted, mirroring the
     # "Ignoring %i unprocessed movers" semantics (advance.cxx:98-103)
+    _nm_debug("fused", pcode=jnp.sum(pcode_f != 0), drop=n_drop,
+              n_fix=n_fix, n_valid=jnp.sum(valid))
     nm = (jnp.sum(pcode_f != 0).astype(jnp.int32) + n_drop
           + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0))
 
@@ -1059,6 +1076,8 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
 
     # packed cycles have no boundary rounds: pending movers are dropped
     # and counted (advance.cxx:98-103 semantics)
+    _nm_debug("packed", pcode=jnp.sum(pcode_f != 0), drop=n_drop,
+              n_fix=n_fix, n_valid=jnp.sum(valid))
     nm = (jnp.sum(pcode_f != 0).astype(jnp.int32) + n_drop
           + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0))
     return psp.replace(pk=new_pk, nm=psp.nm + nm), acc
