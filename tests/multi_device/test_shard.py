@@ -204,6 +204,73 @@ def test_3d_eight_shard_migration():
     assert _alive_count(s1) == _alive_count(s8) == 1024
 
 
+def _build_cycled(px=1, py=1, pz=1, seed=3, resort=2, ion_mult=2):
+    """Deck with the resort-cycle + per-species sort-cadence machinery
+    enabled (two species, ion sorts every ion_mult-th cycle)."""
+    import dataclasses as _dc
+
+    nx, ny, nz = 8, 4, 4
+    L = 1.0
+    sim = Simulation(seed=seed)
+    sim.define_units(1.0, 1.0)
+    dt = 0.9 * sim.courant_length(L, L, L, nx, ny, nz)
+    sim.define_timestep(dt)
+    sim.define_periodic_grid(0, 0, 0, L, L, L, nx, ny, nz, px, py, pz)
+    sim.define_material("vacuum")
+    sim.opts = _dc.replace(sim.opts, resort_interval=resort)
+    e = sim.define_species("electron", -1.0, 4096)
+    i = sim.define_species("ion", 1.0 / 25.0, 4096,
+                           sort_interval=ion_mult * resort)
+    rng = np.random.default_rng(777)
+    n = 1024
+    for sp, sgn, ut in ((e, -1.0, 0.3), (i, 1.0, 0.06)):
+        x, y, z = (rng.uniform(0, L, n) for _ in range(3))
+        sim.inject_particle(sp, x, y, z, rng.normal(0, ut, n),
+                            rng.normal(0, ut, n), rng.normal(0, ut, n),
+                            q=sgn / n)
+    sim.set_field("ex", lambda x, y, z: 0.01 * np.sin(2 * np.pi * x))
+    sim.finalize()
+    return sim
+
+
+def test_multishard_cycle_executables():
+    """The resort-cycle / super-cycle fast path must run distributed: a
+    multishard deck with resort_interval > 1 builds the shard_mapped
+    cycle executables, folds whole super-cycles into ONE dispatch, and
+    matches the single-shard run (round-4: previously _build_cycle
+    early-returned on is_multishard and distributed runs dispatched one
+    jitted step at a time)."""
+    if not _needs_mesh("test_multishard_cycle_executables", 2):
+        return
+    s1 = _build_cycled(px=1)
+    s2 = _build_cycled(px=2)
+    assert s2._advance_cycle is not None
+    # (the A/B per-species cadence pair only exists on the fused kernel
+    # path — on the CPU test mesh the unfused cycle uses lax.cond sorts)
+
+    dispatches = {"n": 0}
+    orig = s2._dispatch_cycle
+
+    def counting(fn):
+        dispatches["n"] += 1
+        return orig(fn)
+
+    s2._dispatch_cycle = counting
+    n_steps = 8   # 2 whole super-cycles (resort 2 x ion_mult 2)
+    s1.advance(n_steps)
+    s2.advance(n_steps)
+    # whole super-cycles from an A boundary fold into ONE dispatch
+    assert dispatches["n"] == 1, dispatches
+    for comp in ("ex", "ey", "cbz", "jfx"):
+        a = global_field(s1, comp)
+        b = global_field(s2, comp)
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5, err_msg=comp)
+    e1, e2 = s1.energies(), s2.energies()
+    for k in e1:
+        np.testing.assert_allclose(e2[k], e1[k], rtol=2e-4, atol=1e-9,
+                                   err_msg=k)
+
+
 def test_two_shard_drift_bounded():
     """Characterize 1-shard vs 2-shard divergence over 20 steps: fp32
     reduction-order drift must stay bounded (roughly linear), not grow

@@ -362,15 +362,18 @@ def test_packed_cycle_matches_unpacked(monkeypatch=None):
         os.environ["VPIC_TPU_DISABLE_PALLAS"] = "1"
 
 
-def test_closed_deck_drops_no_movers():
+@pytest.mark.parametrize("n_walk", [None, 2])
+def test_closed_deck_drops_no_movers(n_walk):
     """A closed periodic deck on the fused+packed bench path must process
     EVERY mover: sp.nm == 0 after full super-cycles and np conserved.
-    Guards against 'drop-assisted' perf regressions — e.g. n_walk=2
-    benched +14% but silently dropped ~15% of lanes/step through fix-up
-    overflow (round-3 negative result, NOTES_ROUND3.md); this invariant
-    is what the reference WARNs about (advance.cxx:98-103) and a closed
-    box must keep at zero."""
-    if not _needs_cpu("test_closed_deck_drops_no_movers"):
+    Guards against 'drop-assisted' perf regressions — the round-3
+    n_walk=2 +14% was drop-assisted (fix-up overflow), and the round-4
+    diagnosis found the default path dropping too (wrap-outlier start
+    poison + sparse-buffer windows, NOTES_ROUND4.md).  This invariant is
+    what the reference WARNs about (advance.cxx:98-103) and a closed box
+    must keep at zero — including at n_walk=2, where every double-
+    crosser rides the fix-up."""
+    if not _needs_cpu(f"test_closed_deck_drops_no_movers[{n_walk}]"):
         return
     from jax.experimental.pallas import tpu as pltpu2
 
@@ -380,7 +383,40 @@ def test_closed_deck_drops_no_movers():
         import __graft_entry__ as ge
 
         with pltpu2.force_tpu_interpret_mode():
-            sim = ge._build(nx=8, ny=8, nz=1, npart=1500, ion_sort_mult=2)
+            sim = ge._build(nx=8, ny=8, nz=1, npart=1500, ion_sort_mult=2,
+                            n_walk=n_walk)
+            np0 = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
+            sim.advance(8)          # 2 super-cycles (resort 2 x mult 2)
+            for sp in sim.state.species:
+                assert int(np.asarray(sp.nm)) == 0, sp.name
+            np1 = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
+            assert np1 == np0
+            assert all(np.isfinite(v) for v in sim.energies().values())
+    finally:
+        os.environ.pop("VPIC_TPU_FORCE_FUSED", None)
+        os.environ["VPIC_TPU_DISABLE_PALLAS"] = "1"
+
+
+def test_closed_deck_drops_no_movers_3d_xy_tiled():
+    """Same invariant on an nz>1 deck that takes the (16, 8) xy-tiled
+    kernel layout (step.py sizes fix_cap for its tile-seam exports with a
+    static frac=48 heuristic — this pins that the provisioning actually
+    holds on a closed 3D box)."""
+    if not _needs_cpu("test_closed_deck_drops_no_movers_3d_xy_tiled"):
+        return
+    from jax.experimental.pallas import tpu as pltpu2
+
+    os.environ["VPIC_TPU_FORCE_FUSED"] = "1"
+    os.environ.pop("VPIC_TPU_DISABLE_PALLAS", None)
+    try:
+        import __graft_entry__ as ge
+        from vpic_tpu.particles import push_pallas as pk
+
+        with pltpu2.force_tpu_interpret_mode():
+            sim = ge._build(nx=16, ny=16, nz=8, npart=1500,
+                            ion_sort_mult=2)
+            g = sim.grid
+            assert pk.use_tiled(g) and pk.tile_shape(g) == (16, 8)
             np0 = sum(int(np.asarray(sp.np)) for sp in sim.state.species)
             sim.advance(8)          # 2 super-cycles (resort 2 x mult 2)
             for sp in sim.state.species:

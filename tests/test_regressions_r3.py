@@ -163,7 +163,12 @@ def test_dropped_movers_warn():
     assert counts["electron"] > 0
     with pytest.warns(RuntimeWarning, match="unprocessed movers"):
         sim.warn_dropped_movers()
+    # delta semantics: nothing new since the last call -> silent
     logged = []
+    sim.warn_dropped_movers(log=logged.append)
+    assert logged == []
+    # new drops re-arm the warning
+    sim.advance(6)
     sim.warn_dropped_movers(log=logged.append)
     assert logged and "unprocessed movers" in logged[0]
 

@@ -39,9 +39,10 @@ def main():
     ga = sim.state.grid_arrays
     table = ppush.make_interp_t(sim.state.interpolator, g,
                                 exc_t=ga.exc_t)
-    params_of = {}
     for step in range(steps):
         sim.advance(1)
+        # reading .state forces the lazy unpack of the persistent packed
+        # mirror (voxels back in row-major space; round-3 ADVICE fix)
         st = sim.state
         for sp_i, sp in enumerate(st.species):
             alive = sp.alive
@@ -52,6 +53,9 @@ def main():
             strides = (pk.tiled_face_strides(g) if tiled
                        else pk.face_strides(g))
             window, pre = (512, 256) if tiled else pk.pick_window(g.nxg)
+            # mirror the real push path's density-aware layout
+            lay = pk.pick_layout(nvk, sp.max_np, window, pre)
+            window, pre = lay["window"], lay["pre"]
             pstate = jnp.stack([sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
                                 jnp.where(alive, sp.q, 0.0)], axis=0)
             qdt_2mc = (0.5 * sp.q_m * g.dt / g.cvac).astype(jnp.float32)
@@ -63,7 +67,8 @@ def main():
                                         3 if nz == 1 else 4))
             _, pout, in_win = pk.fused_push_walk(
                 vox_k, pstate, table, params, strides, nvk,
-                n_walk=n_walk, window=window, pre=pre)
+                n_walk=n_walk, window=window, pre=pre,
+                block=lay["block"])
             expt = int(jnp.sum((pout[pk.PEXPT] > 0.5) & alive))
             oow = int(jnp.sum(~in_win & alive))
             nm = int(np.asarray(sp.nm))

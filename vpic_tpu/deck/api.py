@@ -358,6 +358,27 @@ class Simulation:
                 np.asarray(tag, np.int32)), shape),
             update_rhob=bool(update_rhob)))
 
+    def make_injector(self, species):
+        """Build a runtime in-step injector for ``species`` (name or the
+        handle from define_species), callable from the
+        ``user_particle_injection`` hook — the traced analogue of
+        misc.cxx:16-106 with global fp64 placement, optional rhob update,
+        and aged partial pushes via the boundary rounds.  See
+        deck/inject.py."""
+        from . import inject as _inject
+        from ..grid.partition import shard_origin
+
+        g = self.grid
+        assert g is not None, "define a grid first"
+        h = (self._species_by_name(species) if isinstance(species, str)
+             else species)
+        origins = np.zeros((g.gpz, g.gpy, g.gpx, 3), np.float64)
+        for sz in range(g.gpz):
+            for sy in range(g.gpy):
+                for sx in range(g.gpx):
+                    origins[sz, sy, sx] = shard_origin(g, (sx, sy, sz))
+        return _inject.Injector(sid=h["sid"], g=g, origins=origins)
+
     def maxwellian(self, n, ut):
         """n normal momenta with thermal spread ut (mt_{d,f}randn analogue,
         mtrand.h:39-146)."""
@@ -541,26 +562,52 @@ class Simulation:
         self.state = state
         return state
 
+    def _jit_step_fn(self, body):
+        """jit a per-shard ``state -> state`` body; on a multishard grid
+        the body runs under ``shard_map`` over the device mesh (so cycle /
+        super-cycle executables — including their internal lax.scan — are
+        ONE SPMD dispatch, the distributed analogue of the single-chip
+        fast path; reference bar: 99.85% parallel fraction,
+        README.features:16-19)."""
+        g = self.grid
+        if g is None or not g.is_multishard:
+            return jax.jit(body, donate_argnums=0)
+        from jax.sharding import PartitionSpec as P
+
+        def per_shard(state):
+            state = jax.tree.map(lambda a: a.reshape(a.shape[3:]), state)
+            state = body(state)
+            return jax.tree.map(lambda a: a.reshape((1, 1, 1) + a.shape),
+                                state)
+
+        spec = P(*dist.AXIS_NAMES)
+        fn = jax.shard_map(per_shard, mesh=self.mesh, in_specs=spec,
+                           out_specs=spec, check_vma=False)
+        return jax.jit(fn, donate_argnums=0)
+
     def _build_cycle(self, g, hooks):
         """One jitted executable for a full resort cycle (1 sorting step +
         k-1 non-sorting steps).  Alternating between separate executables
         per step defeats the runtime's dispatch pipelining (each switch
         costs a host round trip comparable to the step itself); a single
-        k-step executable amortizes it."""
+        k-step executable amortizes it.  Multishard grids build the same
+        cycle bodies with the mesh comm (halo ppermutes + migration
+        inside the cycle) and wrap them in shard_map via _jit_step_fn."""
         k = self.opts.resort_interval
         self._cycle_mult = 1
         self._advance_cycle_b = None
         self._cycle_body_packed = None
         self._cycle_body_b_packed = None
-        if k <= 1 or g.is_multishard:
+        if k <= 1:
             self._advance_cycle = None
             return
+        pcomm = self.comm if g.is_multishard else None
         adv_s = make_advance(
-            g, self.comm, pcomm=None, opts=self.opts,
+            g, self.comm, pcomm=pcomm, opts=self.opts,
             boundary_handlers=tuple(self._boundary_handlers),
             emitters=tuple(self._emitters), **hooks)
         adv_n = make_advance(
-            g, self.comm, pcomm=None, opts=self.opts,
+            g, self.comm, pcomm=pcomm, opts=self.opts,
             boundary_handlers=tuple(self._boundary_handlers),
             emitters=tuple(self._emitters), do_sort=False, **hooks)
 
@@ -571,7 +618,7 @@ class Simulation:
             return state
 
         self._cycle_body = cycle
-        self._advance_cycle = jax.jit(cycle, donate_argnums=0)
+        self._advance_cycle = self._jit_step_fn(cycle)
         self._cycles_scan_cache = {}
 
         # Per-species sort cadence (species_advance.h:56 sort_interval):
@@ -617,6 +664,7 @@ class Simulation:
             and all(not any(bool(np.any(b["tag"] != 0))
                             for b in h["batches"])
                     for h in self._species)
+            and not g.is_multishard
             and not _os.environ.get("VPIC_TPU_DISABLE_PACKED"))
         self._cycle_body_packed = None
         self._cycle_body_b_packed = None
@@ -656,7 +704,7 @@ class Simulation:
 
         if fused and M > 1:
             adv_b = make_advance(
-                g, self.comm, pcomm=None, opts=self.opts,
+                g, self.comm, pcomm=pcomm, opts=self.opts,
                 boundary_handlers=tuple(self._boundary_handlers),
                 emitters=tuple(self._emitters), do_sort=flags, **hooks)
 
@@ -668,7 +716,7 @@ class Simulation:
 
             self._cycle_mult = M
             self._cycle_body_b = cycle_b
-            self._advance_cycle_b = jax.jit(cycle_b, donate_argnums=0)
+            self._advance_cycle_b = self._jit_step_fn(cycle_b)
 
             if packed_ok:
                 adv_pb = make_advance(g, self.comm, pcomm=None,
@@ -693,11 +741,10 @@ class Simulation:
         cycle + loop plumbing."""
         fn = self._cycles_scan_cache.get(m)
         if fn is None:
-            fn = self._cycles_scan_cache[m] = jax.jit(
+            fn = self._cycles_scan_cache[m] = self._jit_step_fn(
                 self._scan_run(self._cycle_body,
                                getattr(self, "_cycle_body_packed", None),
-                               m),
-                donate_argnums=0)
+                               m))
         return fn
 
     def _cycles_scan_b(self, m: int):
@@ -706,11 +753,10 @@ class Simulation:
         sort-cadence pattern."""
         fn = self._cycles_scan_cache.get(("b", m))
         if fn is None:
-            fn = self._cycles_scan_cache[("b", m)] = jax.jit(
+            fn = self._cycles_scan_cache[("b", m)] = self._jit_step_fn(
                 self._scan_run(self._cycle_body_b,
                                getattr(self, "_cycle_body_b_packed", None),
-                               m),
-                donate_argnums=0)
+                               m))
         return fn
 
     def _supercycles_scan(self, s: int):
@@ -736,8 +782,8 @@ class Simulation:
                 return jax.lax.scan(lambda s2, _: (super_body(s2), None),
                                     st, None, length=s)[0]
 
-            fn = self._cycles_scan_cache[("sc", s)] = jax.jit(
-                run, donate_argnums=0)
+            fn = self._cycles_scan_cache[("sc", s)] = \
+                self._jit_step_fn(run)
         return fn
 
     def _scan_run(self, body, body_packed, m: int):
@@ -939,6 +985,15 @@ class Simulation:
             iodump.dump_hydro(np.asarray(hy), g, fbase, self.step_count,
                               h["sid"], h["q_m"], shard, rank, nproc, ftag)
 
+    def dump_species(self, fname):
+        """ASCII species listing (dump.cxx:82-101)."""
+        iodump.dump_species_ascii(
+            fname, [(h["name"], h["sid"], h["q_m"]) for h in self._species])
+
+    def dump_materials(self, fname):
+        """ASCII material listing (dump.cxx:103-120)."""
+        iodump.dump_materials_ascii(fname, self.materials)
+
     def dump_particles(self, sp_name, fbase, ftag=True):
         """Time-centered particle dump (dump.cxx:267-325)."""
         g = self.grid
@@ -1072,23 +1127,28 @@ class Simulation:
         return out
 
     def mover_counts(self):
-        """Per-species unresolved-mover counts after the last step, summed
-        over shards — particles whose remaining displacement was dropped
-        (the reference's "Ignoring %i unprocessed movers" condition,
-        advance.cxx:98-103)."""
+        """Per-species CUMULATIVE dropped-mover counts since t=0 (or the
+        last restore), summed over shards — particles whose remaining
+        displacement was dropped (the reference's "Ignoring %i unprocessed
+        movers" condition, advance.cxx:98-103; cumulative so multi-step
+        jitted dispatches cannot silently reset it)."""
         return {h["name"]:
                 int(np.asarray(self.state.species[h["sid"]].nm).sum())
                 for h in self._species}
 
     def warn_dropped_movers(self, log=None):
         """WARN (advance.cxx:98-103 semantics) when any species dropped
-        unprocessed movers on the last step.  Returns the counts."""
+        unprocessed movers since the previous call.  Returns the
+        cumulative counts."""
         import warnings
         counts = self.mover_counts()
-        for name, nm in counts.items():
+        prev = getattr(self, "_warned_movers", {})
+        self._warned_movers = counts
+        for name, total in counts.items():
+            nm = total - prev.get(name, 0)
             if nm:
                 msg = (f"ignoring {nm} unprocessed movers for species "
-                       f"{name!r} at step {self.step_count} (mover/"
+                       f"{name!r} by step {self.step_count} (mover/"
                        f"fix-up buffer saturated; raise fix_cap/max_inj "
                        f"or shorten resort_interval)")
                 if log is not None:
@@ -1119,6 +1179,81 @@ class Simulation:
             if h["name"] == name:
                 return h
         raise KeyError(f"no species {name!r}")
+
+    def standard_diagnostics(self, outdir=".", *, energies_interval=50,
+                             fields_interval=0, hydro_interval=None,
+                             hydro_species=None, particle_interval=0,
+                             particle_species=(), restart_interval=0,
+                             quota_hours=None, field_dp=None,
+                             hydro_dp=None):
+        """The production decks' ``begin_diagnostics`` orchestration as a
+        reusable helper (trecon-part turbulence.cxx:1015-1247): the
+        rundata directory layout, one-time grid/materials/species dumps
+        + global header at step 0, interval-cadenced energies and banded
+        field/hydro dumps, particle dumps, and the two-slot rotating
+        restart with wall-clock-quota self-termination.
+
+        Returns ``diag()`` — call it after each :meth:`advance` (exactly
+        where the reference's main loop calls user_diagnostics).  It
+        returns False when the quota fired (a defensive checkpoint was
+        written; stop the run, exactly like turbulence.cxx:1148-1247).
+        """
+        import os as _os
+
+        from ..io.banded import DumpParameters, field_dump, hydro_dump
+
+        out = str(outdir)
+        for d in ("fields", "hydro", "rundata", "restart1", "restart2",
+                  "particle", "tracer"):
+            _os.makedirs(_os.path.join(out, d), exist_ok=True)
+        if hydro_interval is None:
+            hydro_interval = fields_interval
+        if hydro_species is None:
+            hydro_species = [h["name"] for h in self._species]
+        fdp = field_dp or DumpParameters()
+        hdp = hydro_dp or DumpParameters()
+        rot = ckpt.RotatingCheckpointer(out, quota_hours=quota_hours)
+
+        def diag():
+            s = self.step_count
+            if s == 0 or not getattr(diag, "_init_done", False):
+                self.dump_grid(f"{out}/rundata/grid")
+                self.dump_materials(f"{out}/rundata/materials")
+                self.dump_species(f"{out}/rundata/species")
+                self.write_global_header(
+                    f"{out}/global", field_dp=fdp,
+                    species_dumps=[
+                        (h["name"], "hydro", f"{h['name']}hydro", hdp)
+                        for h in self._species])
+                diag._init_done = True
+            if energies_interval and s % energies_interval == 0:
+                self.dump_energies(f"{out}/rundata/energies",
+                                   append=s != 0)
+            if fields_interval and (s == 1 or s % fields_interval == 0):
+                g = self.grid
+                nproc = g.gpx * g.gpy * g.gpz
+                for shard, rank, st in self._shard_states():
+                    field_dump(st, g, f"{out}/fields/fields.{s}.{rank}",
+                               fdp, s, shard, rank, nproc)
+            if hydro_interval and s % hydro_interval == 0:
+                for name in hydro_species:
+                    self.dump_hydro(name, f"{out}/hydro/{name}hydro")
+            if particle_interval and s and s % particle_interval == 0:
+                for name in particle_species:
+                    self.dump_particles(name,
+                                        f"{out}/particle/{name}particle")
+            if restart_interval and s and s % restart_interval == 0:
+                rot.save(self.state, self.grid,
+                         dict(step_count=s,
+                              opts=dataclasses.asdict(self.opts)))
+            if rot.over_quota():
+                rot.save(self.state, self.grid,
+                         dict(step_count=s,
+                              opts=dataclasses.asdict(self.opts)))
+                return False
+            return True
+
+        return diag
 
     # -- checkpoint / restart ---------------------------------------------
     def checkpoint(self, path, extra=None):

@@ -280,7 +280,9 @@ def make_advance(
                                               sorted_deposit=sorted_deposit,
                                               fused=fused_push,
                                               interp_t=interp_t,
-                                              fix_cap=fix_cap)
+                                              fix_cap=fix_cap,
+                                              count_pending=not
+                                              needs_boundary)
             species.append(sp)
         state = dataclasses.replace(state, species=tuple(species))
 
@@ -289,7 +291,14 @@ def make_advance(
             with scope("phase_emit"):
                 state, acc, f = emitter(state, acc, f)
         if user_particle_injection is not None:
-            state = user_particle_injection(state)
+            # preferred signature (state, acc, f) -> (state, acc, f) so a
+            # deck can inject_particle with rhob + aged-current deposits
+            # (misc.cxx:16-106 via deck/inject.py); legacy state -> state
+            # hooks still work
+            try:
+                state, acc, f = user_particle_injection(state, acc, f)
+            except TypeError:
+                state = user_particle_injection(state)
 
         # -- guard list processing (migration/absorption rounds) --
         # NOTE: a lax.cond skip of empty rounds costs MORE than the round

@@ -137,6 +137,34 @@ def dump_grid(state: SimState, g: Grid, fbase: str,
     return path
 
 
+def dump_species_ascii(path, species):
+    """dump_species (dump.cxx:82-101): one ``name\\nid\\nq_m\\n`` stanza
+    per species, rank-0 only (the caller funnels).  ``species`` is an
+    iterable of (name, id, q_m)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for name, sid, q_m in species:
+            f.write(f"{name}\n{sid:d}\n{q_m:e}\n")
+    return path
+
+
+def dump_materials_ascii(path, materials):
+    """dump_materials (dump.cxx:103-120): per-material name/id and the
+    3x3 eps/mu/sigma rows.  ``materials`` is an iterable of objects with
+    name, id, eps{x,y,z}, mu{x,y,z}, sigma{x,y,z} attributes
+    (deck.api._Material)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for m in materials:
+            f.write(f"{m.name}\n{m.id:d}\n"
+                    f"{m.epsx:e} {m.epsy:e} {m.epsz:e}\n"
+                    f"{m.mux:e} {m.muy:e} {m.muz:e}\n"
+                    f"{m.sigmax:e} {m.sigmay:e} {m.sigmaz:e}\n")
+    return path
+
+
 def read_header_v0(f):
     """Parse a V0 header (for tests / round-trips)."""
     probe = struct.unpack("<5b", f.read(5))

@@ -258,7 +258,9 @@ def finish_boundary(sp: SpeciesState) -> SpeciesState:
     (mirror of the "Ignoring %i unprocessed movers" warning,
     advance.cxx:98-103)."""
     leftover = sp.alive & (sp.pc != 0)
-    nm = jnp.sum(leftover).astype(jnp.int32)
+    # ACCUMULATE across steps (matches push.advance_p's cumulative drop
+    # counter; a jitted multi-step dispatch must never reset it)
+    nm = sp.nm + jnp.sum(leftover).astype(jnp.int32)
     return sp.replace(nm=nm, pc=jnp.zeros_like(sp.pc),
                       mdx=jnp.zeros_like(sp.mdx),
                       mdy=jnp.zeros_like(sp.mdy),

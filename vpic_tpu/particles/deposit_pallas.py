@@ -92,7 +92,11 @@ def deposit_sorted_t(vox, contrib_t, nv: int, block: int = 1024,
         [contrib_t, jnp.zeros((12, npad - n), contrib_t.dtype)], axis=1) \
         if npad != n else contrib_t
 
-    starts_raw = vox_p[::block]                              # (nb,)
+    # per-block MIN, not first-lane: a wrap-crosser outlier as the block
+    # representative would overflow the whole block (see the same fix in
+    # push_pallas.fused_push_walk); padding voxels are nv (max), so a
+    # padded tail block's min stays nv
+    starts_raw = jnp.min(vox_p.reshape(nb, block), axis=1)
     starts = jnp.minimum((starts_raw // LANE) * LANE,
                          max(nv_pad - window, 0)).astype(jnp.int32)
     loc = vox_p - jnp.repeat(starts, block)                  # (npad,)

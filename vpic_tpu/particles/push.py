@@ -372,7 +372,7 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
     from . import push_pallas as pk
 
     K = st.x.shape[0]
-    K2 = min(K, max(1024, K // 8))
+    K2 = min(K, max(1024, K // 4))
 
     voxk = (pk.tvox_of(g, jnp.clip(st.vox, 0, g.nv - 1)) if tiled
             else st.vox).astype(jnp.int32)
@@ -391,6 +391,13 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
     pstate11 = jnp.stack([xs, ys, zs, rxs, rys, rzs, qs,
                           voxs.astype(jnp.float32), uxs, uys, uzs], axis=0)
     ko = dict(kernel_opts or {})
+    # the K-lane buffer is SPARSE (its valid lanes spread over the whole
+    # grid), so the resume pass gets its own density-derived layout —
+    # with the main kernel's dense layout ~90% of resume lanes read
+    # out-of-window and cascade into the capped stage-3 tail (round-4 nm
+    # diagnosis)
+    ko.update(pk.pick_layout(nvk, K, ko.get("window", 512),
+                             ko.get("pre", 256)))
     acc_t, pout2, in_win2 = pk.fused_push_walk(
         voxs, pstate11, table_t, params, strides, nvk,
         n_walk=n_walk, resume=True, **ko)
@@ -460,7 +467,8 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
 def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
               max_nm: int | None = None, n_walk: int = 4,
               sorted_deposit: bool = False, fused: bool = False,
-              interp_t=None, kernel_opts=None, fix_cap: int | None = None):
+              interp_t=None, kernel_opts=None, fix_cap: int | None = None,
+              count_pending: bool = True):
     """One particle push for a whole species.
 
     Segment 1 of the streak walk runs vectorized over ALL particles (for
@@ -470,7 +478,14 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     deposit_pallas.py) or XLA scatter-add otherwise.  Cell crossers finish
     in a fixed-capacity compacted mover buffer (particle_mover_t analogue);
     results merge back by gather (cheaper than scatter on TPU).
-    """
+
+    ``sp.nm`` ACCUMULATES dropped movers across steps (the per-step
+    "Ignoring %i unprocessed movers" of advance.cxx:98-103, summed so a
+    multi-step jitted dispatch cannot silently reset it — round-4 lesson:
+    the old replace semantics masked real drops between reads).  Lanes
+    stopped with a boundary code are pending, not dropped, when a
+    boundary-round pass follows (``count_pending=False``); the rounds'
+    own ``finish_boundary`` counts their leftovers."""
     if max_nm is None:
         # sized for relativistic decks (v ~ c near the Courant limit can
         # cross a face for half the particles per step); overflow is
@@ -490,7 +505,8 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     if fused:
         return _advance_p_fused(sp, interp, acc, neighbor, g, alive, vox,
                                 n_walk=n_walk, table_t=interp_t,
-                                kernel_opts=kernel_opts, fix_cap=fix_cap)
+                                kernel_opts=kernel_opts, fix_cap=fix_cap,
+                                count_pending=count_pending)
 
     ip = interp[vox]
 
@@ -529,10 +545,11 @@ def advance_p(sp: SpeciesState, interp, acc, neighbor, g: Grid,
                                   mode="promise_in_bounds")
 
     return _finish_after_segment1(sp, st, acc, neighbor, g, alive,
-                                  max_nm, n_walk)
+                                  max_nm, n_walk, count_pending)
 
 
-def _finish_after_segment1(sp, st, acc, neighbor, g, alive, max_nm, n_walk):
+def _finish_after_segment1(sp, st, acc, neighbor, g, alive, max_nm, n_walk,
+                           count_pending=True):
     # ---- remaining segments on a compacted mover buffer ----
     unfinished = st.active
     pos_c = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
@@ -591,7 +608,10 @@ def _finish_after_segment1(sp, st, acc, neighbor, g, alive, max_nm, n_walk):
 
     # keep dead slots dead
     vox_o = jnp.where(alive, vox_o, sp.i)
-    nm = jnp.sum(alive & pend).astype(jnp.int32)
+    # pending movers go to the boundary rounds when one follows (their
+    # leftovers are counted there); in a closed config they are drops
+    nm = sp.nm + (jnp.sum(alive & pend).astype(jnp.int32)
+                  if count_pending else 0)
 
     sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox_o, ux=uxo, uy=uyo, uz=uzo,
                     mdx=mdx, mdy=mdy, mdz=mdz, pc=pc, nm=nm)
@@ -753,7 +773,8 @@ def make_interp_t(interp, g: Grid, neighbor=None, exc_t=None):
 
 def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
                      alive, vox, n_walk: int = 4, table_t=None,
-                     fix_cap: int | None = None, kernel_opts=None):
+                     fix_cap: int | None = None, kernel_opts=None,
+                     count_pending: bool = True):
     """The fused Pallas push: the kernel finishes the full streak walk for
     in-window lanes with interior crossings (push_pallas.py); only
     exported lanes (domain-boundary faces, window escapes, walker
@@ -798,6 +819,10 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     if "window" not in ko:
         ko["window"], ko["pre"] = ((512, 256) if tiled
                                    else pk.pick_window(g.nxg))
+    if "block" not in ko:
+        # sparse decks (few lanes/voxel) need wider windows or smaller
+        # blocks so a sorted block's span stays coverable (pick_layout)
+        ko.update(pk.pick_layout(nvk, max_np, ko["window"], ko["pre"]))
     acc_t, pout, in_win = pk.fused_push_walk(
         vox_k, pstate_t, table_t, params, strides, nvk, n_walk=n_walk, **ko)
     if tiled:
@@ -914,8 +939,9 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     # "Ignoring %i unprocessed movers" semantics (advance.cxx:98-103)
     _nm_debug("fused", pcode=jnp.sum(pcode_f != 0), drop=n_drop,
               n_fix=n_fix, n_valid=jnp.sum(valid))
-    nm = (jnp.sum(pcode_f != 0).astype(jnp.int32) + n_drop
-          + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0))
+    drops = n_drop + jnp.maximum(n_fix - jnp.sum(valid).astype(jnp.int32), 0)
+    nm = sp.nm + drops + (jnp.sum(pcode_f != 0).astype(jnp.int32)
+                          if count_pending else 0)
 
     sp = sp.replace(dx=dx, dy=dy, dz=dz, i=vox_o, ux=uxo, uy=uyo, uz=uzo,
                     mdx=mdx, mdy=mdy, mdz=mdz, pc=pc, nm=nm)
@@ -1005,6 +1031,8 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
     if "window" not in ko:
         ko["window"], ko["pre"] = ((512, 256) if tiled
                                    else pk.pick_window(g.nxg))
+    if "block" not in ko:
+        ko.update(pk.pick_layout(nvk, max_np, ko["window"], ko["pre"]))
     vox_k = (psp.pk[7] + 0.5).astype(jnp.int32)
     acc_t, pout, in_win = pk.fused_push_walk(
         vox_k, psp.pk, table_t, params, strides, nvk, n_walk=n_walk, **ko)

@@ -650,7 +650,16 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         pstate_t = jnp.concatenate(
             [pstate_t, jnp.zeros((nr, npad - n), jnp.float32)], axis=1)
 
-    starts_raw = jnp.maximum(vox[::block] - pre, 0)
+    # Per-block MIN, not first-lane: a near-sorted array's few wrap
+    # crossers carry far-end voxels ANYWHERE, including lane 0 — a single
+    # high outlier as a block's representative would, via the running max
+    # below, poison EVERY later block's start and mass-export the whole
+    # species for a step (the round-4 "nm spike": ~np drops/step whenever
+    # the corner particle wrapped between sorts).  With the min, a high
+    # outlier only exports itself; a LOW outlier deflates its own block's
+    # start, which the running max clamps back to the previous block's.
+    starts_raw = jnp.maximum(
+        jnp.min(vox.reshape(npad // block, block), axis=1) - pre, 0)
     starts = jnp.minimum((starts_raw // LANE) * LANE,
                          max(nv_pad - window, 0)).astype(jnp.int32)
     # dead lanes carry voxel 0; a dead tail after sorted live lanes would
@@ -784,6 +793,39 @@ def pick_window(nxg: int) -> tuple:
     one-hot matmul but keep the fused path available."""
     window = min(max(512, _round_up(2 * nxg + 128, 128)), 2048)
     return window, window // 2
+
+
+def pick_layout(nvk: int, n: int, window: int, pre: int) -> dict:
+    """Density-aware kernel layout: {block, window, pre}.
+
+    The window model assumes a sorted ``block``-lane run spans fewer
+    kernel voxels than ``window - pre`` — true at production densities
+    (tens of lanes/voxel) but FALSE for sparse inputs: a tiny deck, or
+    the K-lane resume fix-up buffer whose valid lanes spread across the
+    whole grid.  There a 1024-lane block spans thousands of voxels, the
+    whole block reads out-of-window, and everything cascades into the
+    capped XLA tail where overflow drops movers (the round-4 nm
+    diagnosis: 87% resume_oow at 500k/species, 79% main-kernel oow on a
+    1500-particle xy-tiled deck).
+
+    Fix: widen the window to the block's expected span (one-hot dot MACs
+    scale with window — sparse inputs are small, so the cost is bounded)
+    and shrink the block when block*window would blow the VMEM one-hot
+    budget.  All quantities are static (``n`` is the buffer capacity)."""
+    def need_for(b):
+        # worst-case sorted span of a b-lane block (2x headroom for
+        # non-uniform density) plus the drift/backward-crossing bias
+        span = -(-2 * b * nvk // max(n, 1))
+        return _round_up(min(span + pre + LANE, nvk), LANE)
+
+    # shrink the block until the (block, window) bf16 one-hot fits a 4 MB
+    # VMEM budget (smaller blocks span proportionally fewer voxels)
+    block = 1024
+    while block > 128 and block * need_for(block) * 2 > 4 * 2 ** 20:
+        block //= 2
+    w = max(window, need_for(block))
+    w = min(w, (4 * 2 ** 20) // (2 * block) // LANE * LANE)
+    return dict(block=block, window=w, pre=min(pre, max(w - LANE, 0)))
 
 
 def fused_vmem_ok(nv: int, nxg: int = 0) -> bool:
