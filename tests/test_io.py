@@ -70,6 +70,55 @@ def test_hydro_dump(tmp_path):
     np.testing.assert_allclose(total, -1.0, rtol=1e-3)
 
 
+def test_species_materials_ascii(tmp_path):
+    sim = make_warm_plasma(nx=4, ny=4, nz=4, npart=128)
+    spf = tmp_path / "species.txt"
+    mtf = tmp_path / "materials.txt"
+    sim.dump_species(str(spf))
+    sim.dump_materials(str(mtf))
+    lines = spf.read_text().splitlines()
+    # one name\nid\nq_m stanza per species (dump.cxx:98-99)
+    assert len(lines) == 3 * len(sim._species)
+    assert lines[0] == "electron"
+    assert int(lines[1]) == 0
+    assert float(lines[2]) == pytest.approx(-1.0)
+    mlines = mtf.read_text().splitlines()
+    # name, id, then 3 rows of 3 (dump.cxx:114-118)
+    assert len(mlines) == 5 * len(sim.materials)
+    assert mlines[0] == sim.materials[0].name
+    row = [float(v) for v in mlines[2].split()]
+    assert row == pytest.approx([sim.materials[0].epsx,
+                                 sim.materials[0].epsy,
+                                 sim.materials[0].epsz])
+
+
+def test_standard_diagnostics_inventory(tmp_path):
+    """The reusable begin_diagnostics orchestration must produce the
+    trecon rundata layout (turbulence.cxx:1015-1247): rundata/{grid,
+    materials,species,energies}, global header, cadenced banded field +
+    hydro dumps, particle dumps, rotating restart slots."""
+    sim = make_warm_plasma(nx=4, ny=4, nz=4, npart=256)
+    diag = sim.standard_diagnostics(
+        tmp_path, energies_interval=2, fields_interval=2,
+        particle_interval=4, particle_species=("electron",),
+        restart_interval=4)
+    assert diag()                       # step 0: one-time dumps
+    for _ in range(4):
+        sim.advance(1)
+        assert diag()
+    for rel in ("rundata/grid.0", "rundata/materials",
+                "rundata/species", "rundata/energies", "global.vpc",
+                "fields/fields.2.0", "fields/fields.4.0",
+                "hydro/electronhydro.2.0", "hydro/electronhydro.4.0",
+                "particle/electronparticle.4.0",
+                "restart1/restart.json"):
+        assert (tmp_path / rel).exists(), rel
+    # energies appended one row per cadence hit (steps 0, 2, 4 + header)
+    rows = [ln for ln in (tmp_path / "rundata/energies").read_text()
+            .splitlines() if ln and not ln.startswith("%")]
+    assert len(rows) == 3
+
+
 def test_energies_file(tmp_path):
     sim = make_warm_plasma(nx=4, ny=4, nz=4, npart=128)
     fn = tmp_path / "energies.txt"
