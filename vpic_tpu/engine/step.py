@@ -241,17 +241,25 @@ def make_advance(
         for sp in state.species:
             fix_cap = opts.fix_cap
             if fix_cap is None:
-                # exports only (sorted every step) vs. drift accumulation:
-                # one unsorted step drifts at most one crossing, which the
-                # window bias absorbs; longer intervals spill out-of-window.
-                # Every fix lane costs ~15 compacted gathers, so the cap is
-                # sized to the export rate (overflow is counted in sp.nm
-                # and WARNed at status time, never silent).  A species with
-                # its own longer sort_interval drifts for that many steps.
+                # Provision from the measured traffic model
+                # (NOTES_ROUND4): per step, n_fix ≈ exports + wrap-drift,
+                #   exports     ≈ 1.1% of np (Courant-bound crossers that
+                #                 walk past n_walk or leave the window),
+                #   wrap-drift  ≈ 1%/step·steps_since_sort of np
+                #                 (periodic wrap-crossers stay far out of
+                #                 their block's window until the next
+                #                 sort), saturating near the boundary-row
+                #                 population (~5%).
+                # The resume pass is nearly flat in K after pick_layout
+                # (0.55→0.74 ms from 9k→90k lanes, tools/resume_probe.py)
+                # so the cap carries a ~35% margin over the measured peak;
+                # overflow is counted in sp.nm and WARNed at status time,
+                # never silent.  A species with its own longer
+                # sort_interval drifts for that many steps.
                 k = opts.resort_interval
                 if fused_push and sp.sort_interval > k:
                     k = sp.sort_interval
-                frac = 256 if k <= 2 else (96 if k <= 8 else 24)
+                rate = 0.022 + min(0.01 * k, 0.05)
                 if fused_push:
                     # an active axis whose voxel stride exceeds the deposit
                     # window (the slowest axis of a 3D grid) exports EVERY
@@ -263,12 +271,12 @@ def make_advance(
                     strides = (_pk.tiled_face_strides(g)
                                if _pk.use_tiled(g) else _pk.face_strides(g))
                     if any(abs(s) >= win for s in strides):
-                        frac = min(frac, 24)
+                        rate += 0.04
                     elif _pk.use_tiled(g) and _pk.tile_shape(g)[1] > 1:
                         # xy-tiled 3D: tile-seam crossings (~(1/tx+1/ty)
                         # of transverse crossers) export every step
-                        frac = min(frac, 48)
-                fix_cap = max(8192, sp.max_np // frac)
+                        rate += 0.02
+                fix_cap = max(8192, int(sp.max_np * rate))
             with scope("phase_push"):
                 if packed:
                     sp, acc = ppush.advance_p_packed(
