@@ -818,13 +818,18 @@ def pick_layout(nvk: int, n: int, window: int, pre: int) -> dict:
         span = -(-2 * b * nvk // max(n, 1))
         return _round_up(min(span + pre + LANE, nvk), LANE)
 
-    # shrink the block until the (block, window) bf16 one-hot fits a 4 MB
-    # VMEM budget (smaller blocks span proportionally fewer voxels)
+    # Shrink the block until the (window, block)-proportional VMEM fits.
+    # The kernel's live set scales ~10 B per window*block element (bf16
+    # one-hot + int32 iota + rebuilt one-hot copies across walk segments,
+    # each potentially double-buffered by Mosaic), on top of the resident
+    # table/accumulator — a 4 MB one-hot-only budget measured 40 MB of
+    # scoped vmem and OOMed the 128^2 grid at 400k particles (round 4).
+    budget = int(1.5 * 2 ** 20)          # bf16 one-hot bytes
     block = 1024
-    while block > 128 and block * need_for(block) * 2 > 4 * 2 ** 20:
+    while block > 128 and block * need_for(block) * 2 > budget:
         block //= 2
     w = max(window, need_for(block))
-    w = min(w, (4 * 2 ** 20) // (2 * block) // LANE * LANE)
+    w = min(w, budget // (2 * block) // LANE * LANE)
     return dict(block=block, window=w, pre=min(pre, max(w - LANE, 0)))
 
 
