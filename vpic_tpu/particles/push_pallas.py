@@ -63,9 +63,15 @@ TWO_FIFTEENTHS = 2.0 / 15.0
 NROWS = 16
 EXC_ROW = 18          # exception-bit row index in the gathered table
 EXC_SHIFT_ROW = 19    # rows 19..24: exc bits of the face-f neighbor
-                      # (exc[v + stride_f]) — prefetched so a second
+                      # (exc[neighbor]) — prefetched so a second
                       # crossing needs NO in-kernel exc re-gather
-N_TABLE = 32          # 25 used rows padded to a sublane multiple
+WRAP_ROW = 25         # row 25: per-face self-wrap bits — crossings whose
+                      # real neighbor equals the STATIC wrap stride
+                      # (kernel_wraps) resolve in-kernel instead of
+                      # exporting (periodic wrap = misc wrap faces)
+WRAP_SHIFT_ROW = 26   # rows 26..31: wrap bits of the face-f neighbor
+N_EXC_ROWS = 14       # exc + 6 shifted + wrap + 6 shifted
+N_TABLE = 32          # 18 + 14 rows — exactly a sublane multiple
 PRE = 192             # window-start bias: headroom for backward crossings
 
 
@@ -205,6 +211,199 @@ def tiled_face_strides(g) -> tuple:
     return (-sx, -sy, -sz, sx, sy, sz)
 
 
+# ---------------------------------------------------------------------------
+# INTERIOR layout: ghost-free circular row-major voxels for 2D grids.
+#
+# In the ghosted row-major space a periodic y-wrap jumps the voxel by
+# -(ny-1)*nxg — far outside any window — so wrap crossers exported at the
+# crossing AND re-entered the fix-up every step until the next sort (the
+# round-4 wrap-drift traffic, 2/3 of fix-up lanes).  In a ghost-free
+# interior index t = (x-1) + nx*(y-1) with CIRCULAR windows mod nvi=nx*ny,
+# the y-wrap is ordinary arithmetic: -(ny-1)*nx = +nx (mod nvi).  A closed
+# periodic 2D box then has ZERO exceptional faces: +-y crossings (wraps
+# included) use the static +-nx stride under the window mod, and x-wraps
+# ride the static wrap-stride rows (-+(nx-1), within the window).  The
+# table also shrinks ~3x (no ghost voxels).  3D keeps the xy-tiled layout
+# (three axes cannot all be window-local in one linear order).
+# ---------------------------------------------------------------------------
+
+
+def use_interior(g) -> bool:
+    """Ghost-free circular layout: 2D grids whose window 2*nx+256 stays
+    MXU-friendly.  (1D degenerates fine but keeps the plain layout.)"""
+    return g.gnz == 1 and g.gny > 1 and (g.nxg - 2) <= 448
+
+
+def n_interior(g) -> int:
+    return (g.nxg - 2) * (g.nyg - 2)
+
+
+def ivox_of(g, vox):
+    """Ghosted row-major voxel -> interior index (live voxels only)."""
+    nx = g.nxg - 2
+    j = vox // g.nxg
+    x = vox - j * g.nxg
+    y = j % g.nyg
+    return (x - 1) + nx * (y - 1)
+
+
+def vox_of_i(g, t):
+    """Interior index -> ghosted row-major voxel (z is the single
+    interior plane of a 2D grid)."""
+    nx = g.nxg - 2
+    y = t // nx
+    x = t - y * nx
+    return (x + 1) + g.nxg * ((y + 1) + g.nyg * 1)
+
+
+def interior_face_strides(g) -> tuple:
+    nx = g.nxg - 2
+    sx = 1 if g.gnx > 1 else 0
+    sy = nx if g.gny > 1 else 0
+    return (-sx, -sy, 0, sx, sy, 0)
+
+
+def interior_wrap_strides(g) -> tuple:
+    """Static per-face self-wrap strides in interior space.  Only x needs
+    them (+-(nx-1)); y-wraps are the ordinary +-nx stride under the
+    circular mod and z is flat."""
+    nx = g.nxg - 2
+    wx = nx - 1 if g.gnx > 1 else 0
+    return (wx, 0, 0, -wx, 0, 0)
+
+
+# ---- unified kernel-space dispatch ----------------------------------------
+
+
+def kernel_layout(g) -> str:
+    if use_interior(g):
+        return "interior"
+    if use_tiled(g):
+        return "tiled"
+    return "plain"
+
+
+def kernel_nv(g) -> int:
+    lay = kernel_layout(g)
+    if lay == "interior":
+        return n_interior(g)
+    if lay == "tiled":
+        return n_tiled(g)
+    return g.nv
+
+
+def kvox_of(g, vox):
+    """Row-major voxel -> kernel-space index (pure arithmetic)."""
+    lay = kernel_layout(g)
+    if lay == "interior":
+        return ivox_of(g, vox)
+    if lay == "tiled":
+        return tvox_of(g, vox)
+    return vox
+
+
+def vox_of_k(g, kv):
+    lay = kernel_layout(g)
+    if lay == "interior":
+        return vox_of_i(g, kv)
+    if lay == "tiled":
+        return vox_of_t(g, kv)
+    return kv
+
+
+def kernel_strides(g) -> tuple:
+    lay = kernel_layout(g)
+    if lay == "interior":
+        return interior_face_strides(g)
+    if lay == "tiled":
+        return tiled_face_strides(g)
+    return face_strides(g)
+
+
+def kernel_wraps(g) -> tuple:
+    """Static per-face self-wrap strides (0 = face has no static wrap).
+    Plain 2D grids get the x-wrap (-+(nxg... the interior extent - 1), a
+    within-window delta); tiled layouts keep wraps exceptional (their
+    deltas escape any window)."""
+    lay = kernel_layout(g)
+    if lay == "interior":
+        return interior_wrap_strides(g)
+    if lay == "plain":
+        wx = (g.nxg - 3) if g.gnx > 1 else 0   # x=nx -> x=1: -(nx-1)
+        return (wx, 0, 0, -wx, 0, 0)
+    return (0, 0, 0, 0, 0, 0)
+
+
+def kernel_mod(g) -> int:
+    """Circular window base (0 = linear windows)."""
+    return n_interior(g) if use_interior(g) else 0
+
+
+def exception_rows(neighbor, g) -> jax.Array:
+    """(14, nvk) f32 static table rows for the fused kernel:
+
+      row 0      exc bits   — bit f set where crossing face f needs the
+                 XLA fix-up (real neighbor disagrees with BOTH the
+                 interior stride (mod kernel_mod) and the wrap stride)
+      rows 1..6  exc bits of the face-f real neighbor (second crossings)
+      row 7      wrap bits  — bit f set where the real neighbor equals
+                 t + kernel_wraps[f] (mod): resolve in-kernel
+      rows 8..13 wrap bits of the face-f real neighbor
+
+    Shifted rows use the REAL neighbor (wraps included), so a second
+    crossing after an in-kernel wrap still sees correct bits."""
+    lay = kernel_layout(g)
+    nvk = kernel_nv(g)
+    s = kernel_strides(g)
+    ws = kernel_wraps(g)
+    mod = kernel_mod(g)
+    t = jnp.arange(nvk, dtype=jnp.int32)
+
+    if lay == "tiled":
+        x, y, z = _txyz_of_t(g, t)
+        in_grid = (x < g.nxg) & (y < g.nyg)
+        vox = jnp.where(in_grid, x + g.nxg * (y + g.nyg * z), 0)
+    elif lay == "interior":
+        in_grid = jnp.ones((nvk,), bool)
+        vox = vox_of_i(g, t)
+    else:
+        in_grid = jnp.ones((nvk,), bool)
+        vox = t
+
+    nb_rows = neighbor[jnp.clip(vox, 0, g.nv - 1)]          # (nvk, 6)
+    excb = jnp.zeros((nvk,), jnp.int32)
+    wrapb = jnp.zeros((nvk,), jnp.int32)
+    kts = []
+    for f in range(6):
+        tgt = nb_rows[:, f]
+        valid = tgt >= 0
+        kt = kvox_of(g, jnp.clip(tgt, 0, g.nv - 1))
+        kts.append(jnp.where(valid, kt, 0))
+        it = t + s[f]
+        wt = t + ws[f]
+        if mod:
+            it = jnp.where(it < 0, it + mod, it)
+            it = jnp.where(it >= mod, it - mod, it)
+            wt = jnp.where(wt < 0, wt + mod, wt)
+            wt = jnp.where(wt >= mod, wt - mod, wt)
+        int_ok = valid & (kt == it)
+        wrap_ok = valid & (kt == wt) & ~int_ok if ws[f] else \
+            jnp.zeros((nvk,), bool)
+        excb = excb | (jnp.where(int_ok | wrap_ok, 0, 1) << f)
+        wrapb = wrapb | (wrap_ok.astype(jnp.int32) << f)
+    excb = jnp.where(in_grid, excb, (1 << 6) - 1)
+    wrapb = jnp.where(in_grid, wrapb, 0)
+
+    # shifted rows: bits of the real face-f neighbor (one-time gathers)
+    resolvable = [((excb >> f) & 1) == 0 for f in range(6)]
+    sh_exc = [jnp.where(resolvable[f], excb[kts[f]], (1 << 6) - 1)
+              for f in range(6)]
+    sh_wrap = [jnp.where(resolvable[f], wrapb[kts[f]], 0)
+               for f in range(6)]
+    return jnp.stack([excb] + sh_exc + [wrapb] + sh_wrap,
+                     axis=0).astype(jnp.float32)
+
+
 def tiled_exception_bits(neighbor, g) -> jax.Array:
     """(nvt,) f32 bitmask in tiled space: bit f set where the neighbor
     table disagrees with the tiled arithmetic stride — domain faces AND
@@ -260,7 +459,8 @@ def deposit_groups(strides, n_walk: int) -> tuple:
 
 def _kernel(starts_ref, params_ref, pstate_ref,
             win_ref, acc_ref, pout_ref, *, window, n_walk, resident,
-            perblock, rw, strides, skip_deposit=False, resume=False):
+            perblock, rw, strides, wraps=(0,) * 6, mod=0,
+            skip_deposit=False, resume=False):
     """Kernel body.  ``rw`` (row width) picks the layout:
 
     - rw=LANE: historical row loop — each 128-lane row runs the walk on
@@ -339,24 +539,28 @@ def _kernel(starts_ref, params_ref, pstate_ref,
         return (D[0:m] + D[m:2 * m]) + D[2 * m:3 * m]
 
     # Slim gather operand: only the 18 interpolator rows need the exact
-    # 3-way split; the 7 exception rows are small ints (<= 63, bf16-exact
-    # with its 8 mantissa bits) and ride as single rows; the N_TABLE pad
-    # rows are dropped.  M = 3*18 + 7 = 61 rows instead of 3*32 = 96 —
-    # ~36% fewer MXU row-streams on the gather dot, bitwise-equal result.
+    # 3-way split; the 14 exception/wrap rows are small ints (<= 63,
+    # bf16-exact with its 8 mantissa bits) and ride as single rows; the
+    # N_TABLE pad rows are dropped.  M = 3*18 + 14 = 68 rows instead of
+    # 3*32 = 96 MXU row-streams on the gather dot, bitwise-equal result.
     # RESUME mode (mid-walk lanes re-entering after an XLA crossing
-    # resolve) needs no interpolator at all: only the 7 exc rows ride.
-    N_EXC = 7
+    # resolve) needs no interpolator at all: only the exc rows ride.
+    N_EXC = N_EXC_ROWS
     if resume:
         win_exc = win[EXC_ROW:EXC_ROW + N_EXC].astype(jnp.bfloat16)
     else:
         win3cat = jnp.concatenate(
             split3(win[0:18]) + (win[EXC_ROW:EXC_ROW + N_EXC]
-                                 .astype(jnp.bfloat16),), axis=0)  # (61, W)
+                                 .astype(jnp.bfloat16),), axis=0)  # (68, W)
 
     def row_body(r, blk):
         r128 = r * jnp.int32(rw)
         ps = pstate_ref[:, pl.ds(r128, rw)]                # (8|11, rw)
         loc0 = ps[7:8].astype(jnp.int32) - start               # (1,rw) int32
+        if mod:
+            # circular window: a voxel below the block start is reachable
+            # through the wrap image columns [mod, mod+window)
+            loc0 = jnp.where(loc0 < 0, loc0 + mod, loc0)
         inb = (loc0 >= 0) & (loc0 < window)
         ohT = ((jnp.where(inb, loc0, jnp.int32(-1)) == iota_w)
                ).astype(jnp.bfloat16)                           # (W, rw)
@@ -449,18 +653,22 @@ def _kernel(starts_ref, params_ref, pstate_ref,
         # A lane reaching a THIRD crossing (3D corner tails, whose exc
         # would need a doubly-shifted row) is exported instead.
         shexc = (CE[1:7, :] + 0.5).astype(jnp.int32)           # (6, rw)
+        # wrap bits: crossings whose real neighbor is the STATIC wrap
+        # stride away resolve in-kernel (exc bits are clear there)
+        wrap_i = (CE[7:8, :] + 0.5).astype(jnp.int32)
+        shwrap = (CE[8:14, :] + 0.5).astype(jnp.int32)         # (6, rw)
         ncross = jnp.zeros_like(loc0)
         pos = (dx0, dy0, dz0)
         loc_cur = loc0
         active = inb
 
         # ---- the streak walk (move_p.c:34-134), all segments in-kernel ----
-        carry = (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
+        carry = (blk, ohT, exc_i, wrap_i, ncross, loc_cur, active, pos, rem,
                  (pox, poy, poz), (prx, pry, prz),
                  ptype, pdir, pexpt, ploc)
 
         def segment(carry, last, rebuild_oh):
-            (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
+            (blk, ohT, exc_i, wrap_i, ncross, loc_cur, active, pos, rem,
              po, pr, ptype, pdir, pexpt, ploc) = carry
             sdir = tuple(jnp.where(rr > 0, one, -one) for rr in rem)
             # clamped >= 0: a lane 1 ulp outside its face would get a
@@ -511,12 +719,23 @@ def _kernel(starts_ref, params_ref, pstate_ref,
             face_c = jnp.minimum(face, jnp.int32(5))
             excbit = jax.lax.shift_right_logical(
                 exc_i, face_c) & jnp.int32(1)
+            wrapbit = jax.lax.shift_right_logical(
+                wrap_i, face_c) & jnp.int32(1)
             stridev = jnp.zeros_like(loc_cur)
             for f in range(6):
-                stridev = jnp.where(face_c == f, jnp.int32(strides[f]),
-                                    stridev)
+                sf = jnp.where(wrapbit > 0, jnp.int32(wraps[f]),
+                               jnp.int32(strides[f])) if wraps[f] else \
+                    jnp.int32(strides[f])
+                stridev = jnp.where(face_c == f, sf, stridev)
             newloc = loc_cur + stridev
-            escape = (newloc < 0) | (newloc >= window)
+            if mod:
+                # circular window arithmetic (window < mod except for
+                # tiny grids, where nothing ever escapes)
+                newloc = jnp.where(newloc < 0, newloc + mod, newloc)
+                newloc = jnp.where(newloc >= mod, newloc - mod, newloc)
+                escape = newloc >= window
+            else:
+                escape = (newloc < 0) | (newloc >= window)
             # third crossing: neighbor-of-neighbor exc is not prefetched
             exp_now = active & ~done & ((excbit > 0) | escape
                                         | (ncross >= 2))
@@ -544,20 +763,23 @@ def _kernel(starts_ref, params_ref, pstate_ref,
             loc_cur = jnp.where(cross, newloc, loc_cur)
             active = cross if not last else jnp.zeros_like(cross)
 
-            # crossers pick up their new voxel's exc bits from the
+            # crossers pick up their new voxel's exc/wrap bits from the
             # prefetched per-face shift rows (free — no MXU dot)
             exc_new = jnp.zeros_like(exc_i)
+            wrap_new = jnp.zeros_like(wrap_i)
             for f in range(6):
                 exc_new = jnp.where(face_c == f, shexc[f:f + 1], exc_new)
+                wrap_new = jnp.where(face_c == f, shwrap[f:f + 1], wrap_new)
             exc_i = jnp.where(cross, exc_new, exc_i)
+            wrap_i = jnp.where(cross, wrap_new, wrap_i)
             ncross = ncross + cross.astype(jnp.int32)
 
             if rebuild_oh:
                 ohT = ((jnp.where(active, loc_cur, jnp.int32(-1)) == iota_w)
                        ).astype(jnp.bfloat16)
 
-            return (blk, ohT, exc_i, ncross, loc_cur, active, pos_out, rem,
-                    po, pr, ptype, pdir, pexpt, ploc)
+            return (blk, ohT, exc_i, wrap_i, ncross, loc_cur, active,
+                    pos_out, rem, po, pr, ptype, pdir, pexpt, ploc)
 
         # NOTE: skipping all-done tail segments behind a value-carrying
         # lax.cond ICEs the Mosaic compiler (tpu_compile_helper exit 1);
@@ -575,7 +797,7 @@ def _kernel(starts_ref, params_ref, pstate_ref,
             last = s == n_walk - 1 or not groups[min(s + 1, n_walk - 1)]
             carry = segment(carry, last=last, rebuild_oh=not last)
 
-        (blk, ohT, exc_i, ncross, loc_cur, active, pos, rem,
+        (blk, ohT, exc_i, wrap_i, ncross, loc_cur, active, pos, rem,
          (pox, poy, poz), (prx, pry, prz),
          ptype, pdir, pexpt, ploc) = carry
 
@@ -583,7 +805,10 @@ def _kernel(starts_ref, params_ref, pstate_ref,
         # never pushed; start+ploc would be garbage), so PVOX is always a
         # valid kernel-space voxel and rows 0..7 are directly the next
         # step's input state
-        voxf = jnp.where(inb, (start + ploc).astype(jnp.float32), ps[7:8])
+        voxk = start + ploc
+        if mod:
+            voxk = jnp.where(voxk >= mod, voxk - mod, voxk)
+        voxf = jnp.where(inb, voxk.astype(jnp.float32), ps[7:8])
         out = jnp.concatenate([
             pox, poy, poz, pux, puy, puz, q, voxf,
             prx, pry, prz,
@@ -614,13 +839,15 @@ def _kernel(starts_ref, params_ref, pstate_ref,
 @functools.partial(jax.jit,
                    static_argnames=("strides", "nv", "n_walk", "block",
                                     "window", "pre", "resident", "perblock",
-                                    "skip_deposit", "wide", "resume"))
+                                    "skip_deposit", "wide", "resume",
+                                    "wraps", "mod"))
 def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     n_walk: int = 4, block: int = 1024, window: int = 512,
                     pre: int = PRE, resident: bool | None = None,
                     perblock: bool | None = None,
                     skip_deposit: bool = False, wide: bool = True,
-                    resume: bool = False):
+                    resume: bool = False, wraps: tuple = (0,) * 6,
+                    mod: int = 0):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -660,13 +887,20 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     # start, which the running max clamps back to the previous block's.
     starts_raw = jnp.maximum(
         jnp.min(vox.reshape(npad // block, block), axis=1) - pre, 0)
+    # circular layouts let starts run to the end of the mod base (their
+    # windows wrap through the image columns); linear layouts clamp so
+    # start + window stays inside the table
+    start_max = (max((mod - 1) // LANE * LANE, 0) if mod
+                 else max(nv_pad - window, 0))
     starts = jnp.minimum((starts_raw // LANE) * LANE,
-                         max(nv_pad - window, 0)).astype(jnp.int32)
+                         start_max).astype(jnp.int32)
     # dead lanes carry voxel 0; a dead tail after sorted live lanes would
     # break monotonicity, so clamp starts to a running max (dead blocks
     # deposit q=0 slabs wherever their window lands)
     starts = jax.lax.associative_scan(jnp.maximum, starts)
     loc = vox - jnp.repeat(starts, block)
+    if mod:
+        loc = jnp.where(loc < 0, loc + mod, loc)
     in_window = (loc >= 0) & (loc < window)
     # the kernel recomputes loc from the voxel (pstate row 7, f32-exact
     # below 2^24); only in_window is needed host-side.  A 7-row pstate
@@ -684,23 +918,35 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         assert nr == 8, nr
         pstate_in = pstate_t                                    # (8, npad)
     nri = pstate_in.shape[0]
-    # the (12, nv_pad) accumulator stays VMEM-resident on small grids;
+    # circular layouts extend the table (and accumulator) by a window of
+    # wrap-image columns: ext[:, mod + j] = table[:, j], so a block whose
+    # window runs past the mod base reads/deposits through the images and
+    # the epilogue folds them back onto the head columns
+    if mod:
+        nv_ext = nv_pad + window
+        table_k = jnp.zeros((N_TABLE, nv_ext), table_t.dtype)
+        table_k = table_k.at[:, :nv_pad].set(table_t)
+        table_k = table_k.at[:, mod:mod + window].set(table_t[:, :window])
+    else:
+        nv_ext = nv_pad
+        table_k = table_t
+    # the (12, nv_ext) accumulator stays VMEM-resident on small grids;
     # large grids use per-block output slabs + the combine epilogue
     if perblock is None:
-        perblock = (16 * nv_pad * 4 + 4 * N_TABLE * window * 4
+        perblock = (16 * nv_ext * 4 + 4 * N_TABLE * window * 4
                     >= 12 * 2 ** 20)
     if resident is None:
-        resident = (16 + N_TABLE) * nv_pad * 4 < 11 * 2 ** 20
+        resident = (16 + N_TABLE) * nv_ext * 4 < 11 * 2 ** 20
     if resident:
-        win_all = table_t
+        win_all = table_k
     else:
         # one chunked row-gather instead of a vmapped dynamic_slice
         # (which XLA unrolls into nb tiny update ops): starts are
         # LANE-aligned, so each block's window is `window//LANE` whole
         # chunks of a (C, N_TABLE, LANE) view
         k = window // LANE
-        Ct = nv_pad // LANE
-        tab_c = table_t.reshape(N_TABLE, Ct, LANE).transpose(1, 0, 2)
+        Ct = nv_ext // LANE
+        tab_c = table_k.reshape(N_TABLE, Ct, LANE).transpose(1, 0, 2)
         cidx = jnp.minimum(starts // LANE, max(Ct - k, 0))
         idx = cidx[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
         win_all = tab_c[idx]                       # (nb, k, N_TABLE, 128)
@@ -713,7 +959,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         in_specs=[
             pl.BlockSpec((nri, block), lambda i, s, p: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
-            (pl.BlockSpec((N_TABLE, nv_pad),
+            (pl.BlockSpec((N_TABLE, nv_ext),
                           lambda i, s, p: (np.int32(0), np.int32(0)),
                           memory_space=pltpu.VMEM)
              if resident else
@@ -726,7 +972,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                           lambda i, s, p: (i, np.int32(0), np.int32(0)),
                           memory_space=pltpu.VMEM)
              if perblock else
-             pl.BlockSpec((12, nv_pad),
+             pl.BlockSpec((12, nv_ext),
                           lambda i, s, p: (np.int32(0), np.int32(0)),
                           memory_space=pltpu.VMEM)),
             pl.BlockSpec((NROWS, block), lambda i, s, p: (np.int32(0), i),
@@ -738,6 +984,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                           resident=resident, perblock=perblock,
                           rw=block if wide else LANE,
                           strides=tuple(int(x) for x in strides),
+                          wraps=tuple(int(x) for x in wraps), mod=mod,
                           skip_deposit=skip_deposit, resume=resume),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -745,13 +992,18 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         out_shape=[
             (jax.ShapeDtypeStruct((nb, 12, window), jnp.float32)
              if perblock else
-             jax.ShapeDtypeStruct((12, nv_pad), jnp.float32)),
+             jax.ShapeDtypeStruct((12, nv_ext), jnp.float32)),
             jax.ShapeDtypeStruct((NROWS, npad), jnp.float32),
         ],
     )(starts, params, pstate_in, win_all)
 
     if perblock:
-        acc_t = _combine_slabs(acc_t, starts, nv_pad, window)
+        acc_t = _combine_slabs(acc_t, starts, nv_ext, window)
+    if mod:
+        # fold the wrap-image deposit columns back onto the head
+        img = acc_t[:, mod:mod + window]
+        acc_t = acc_t[:, :nv_pad].at[:, :window].add(img)
+        acc_t = acc_t.at[:, mod:].set(0.0)
     return acc_t, pout[:, :n], in_window[:n]
 
 
@@ -793,6 +1045,18 @@ def pick_window(nxg: int) -> tuple:
     one-hot matmul but keep the fused path available."""
     window = min(max(512, _round_up(2 * nxg + 128, 128)), 2048)
     return window, window // 2
+
+
+def kernel_window(g) -> tuple:
+    """(window, pre) for this grid's kernel layout."""
+    lay = kernel_layout(g)
+    if lay == "tiled":
+        return 512, 256
+    if lay == "interior":
+        nx = g.nxg - 2
+        window = max(512, _round_up(2 * nx + 256, 128))
+        return window, _round_up(nx + 128, 128)
+    return pick_window(g.nxg)
 
 
 def pick_layout(nvk: int, n: int, window: int, pre: int) -> dict:
