@@ -53,6 +53,14 @@ def main():
     sim.advance(steps)
     int(np.asarray(sim.state.species[0].np))
 
+    # mover-drop baseline BEFORE the timed window: sp.nm accumulates the
+    # reference's "Ignoring %i unprocessed movers" count (advance.cxx:
+    # 98-103) across steps, so the delta over the timed window certifies
+    # the measured configuration is physically clean (a closed periodic
+    # box processes every mover, move_p.c:34-134).  Round-3/4 lesson: a
+    # headline without this field can be silently drop-assisted.
+    nm0 = {sp.name: int(np.asarray(sp.nm)) for sp in sim.state.species}
+
     t0 = time.perf_counter()
     sim.advance(steps)
     int(np.asarray(sim.state.species[0].np))
@@ -61,6 +69,8 @@ def main():
     total_particles = sum(
         int(np.asarray(sp.np)) for sp in sim.state.species)
     pushes_per_s = total_particles * steps / dt
+    dropped = {sp.name: int(np.asarray(sp.nm)) - nm0[sp.name]
+               for sp in sim.state.species}
 
     baseline = 7.8e6  # pushes/s/processor, README.performance:8-10
     print(json.dumps({
@@ -68,6 +78,12 @@ def main():
         "value": pushes_per_s,
         "unit": "pushes/s",
         "vs_baseline": pushes_per_s / baseline,
+        "dropped_movers": dropped,
+        "config": {"npart": npart, "nx": nx, "ny": ny, "nz": nz,
+                   "steps": steps, "resort": resort,
+                   "ion_mult": ion_mult,
+                   "n_walk": int(n_walk) if n_walk else None,
+                   "fix_cap": os.environ.get("VPIC_TPU_FIX_CAP")},
     }))
 
 

@@ -28,7 +28,20 @@ def main():
 
     from __graft_entry__ import _build
 
-    sim = _build(nx=nx, ny=nx, nz=1, npart=npart // 2)
+    # mirror bench.py's knob env so evidence runs at the exact bench
+    # configuration (round-4 lesson: entries without their knob set are
+    # not reproducible)
+    resort = int(os.environ.get("BENCH_RESORT", 2))
+    ion_mult = int(os.environ.get("BENCH_ION_MULT", 4))
+    n_walk = os.environ.get("BENCH_NWALK")
+    knobs = dict(resort=resort, ion_mult=ion_mult,
+                 n_walk=int(n_walk) if n_walk else None,
+                 fix_cap=os.environ.get("VPIC_TPU_FIX_CAP"),
+                 env={k: v for k, v in os.environ.items()
+                      if k.startswith("VPIC_TPU_")})
+    sim = _build(nx=nx, ny=nx, nz=1, npart=npart // 2,
+                 resort_interval=resort, ion_sort_mult=ion_mult,
+                 n_walk=int(n_walk) if n_walk else None)
     period = sim.opts.resort_interval * getattr(sim, "_cycle_mult", 1)
     steps = max(period, (steps // period) * period)
 
@@ -52,6 +65,7 @@ def main():
         device=str(jax.devices()[0]),
         deck=f"{nx}x{nx} npart={npart}",
         steps=steps,
+        knobs=knobs,
         wall_s=round(wall, 3),
         energy0=tot0,
         energy1=tot1,

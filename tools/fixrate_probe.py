@@ -47,12 +47,11 @@ def main():
         for sp_i, sp in enumerate(st.species):
             alive = sp.alive
             vox = jnp.where(alive, sp.i, 0)
-            tiled = pk.use_tiled(g)
-            nvk = pk.n_tiled(g) if tiled else g.nv
-            vox_k = pk.tvox_of(g, vox) if tiled else vox
-            strides = (pk.tiled_face_strides(g) if tiled
-                       else pk.face_strides(g))
-            window, pre = (512, 256) if tiled else pk.pick_window(g.nxg)
+            klay = pk.kernel_layout(g)
+            nvk = pk.kernel_nv(g)
+            vox_k = vox if klay == "plain" else pk.kvox_of(g, vox)
+            strides = pk.kernel_strides(g)
+            window, pre = pk.kernel_window(g)
             # mirror the real push path's density-aware layout
             lay = pk.pick_layout(nvk, sp.max_np, window, pre)
             window, pre = lay["window"], lay["pre"]
@@ -68,7 +67,8 @@ def main():
             _, pout, in_win = pk.fused_push_walk(
                 vox_k, pstate, table, params, strides, nvk,
                 n_walk=n_walk, window=window, pre=pre,
-                block=lay["block"])
+                block=lay["block"],
+                wraps=pk.kernel_wraps(g), mod=pk.kernel_mod(g))
             expt = int(jnp.sum((pout[pk.PEXPT] > 0.5) & alive))
             oow = int(jnp.sum(~in_win & alive))
             nm = int(np.asarray(sp.nm))

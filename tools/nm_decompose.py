@@ -63,11 +63,11 @@ def main():
                jnp.float32(g.cvac * g.dt * g.rdy),
                jnp.float32(g.cvac * g.dt * g.rdz))
         params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
-        tiled = psp.tiled
-        nvk = pk.n_tiled(g) if tiled else g.nv
-        strides = (pk.tiled_face_strides(g) if tiled
-                   else pk.face_strides(g))
-        window, pre = (512, 256) if tiled else pk.pick_window(g.nxg)
+        lay = pk.kernel_layout(g)
+        nvk = pk.kernel_nv(g)
+        strides = pk.kernel_strides(g)
+        wraps, mod = pk.kernel_wraps(g), pk.kernel_mod(g)
+        window, pre = pk.kernel_window(g)
         # mirror push.py's density-aware layouts (round-4 fix): main calls
         # size for n=max_np, the resume call for n=K
         lay1 = pk.pick_layout(nvk, max_np, window, pre)
@@ -78,7 +78,7 @@ def main():
             vox_k = (pkrows[7] + 0.5).astype(jnp.int32)
             acc_t, pout, in_win = pk.fused_push_walk(
                 vox_k, pkrows, table, params, strides, nvk,
-                n_walk=n_walk, **lay1)
+                n_walk=n_walk, wraps=wraps, mod=mod, **lay1)
             alive = jnp.arange(max_np, dtype=jnp.int32) < npv
             expt = pout[pk.PEXPT] > 0.5
             fix = alive & (expt | ~in_win)
@@ -100,8 +100,8 @@ def main():
             ux_f, uy_f, uz_f = pf[pk.PUX], pf[pk.PUY], pf[pk.PUZ]
             q_f = jnp.where(valid, pf[pk.PQ], 0.0)
             kvox_f = (pf[pk.PVOX] + 0.5).astype(jnp.int32)
-            vox_f = (pk.vox_of_t(g, jnp.clip(kvox_f, 0, nvk - 1)) if tiled
-                     else kvox_f)
+            vox_f = (kvox_f if lay == "plain"
+                     else pk.vox_of_k(g, jnp.clip(kvox_f, 0, nvk - 1)))
             ipr = st.interpolator[jnp.where(redo, jnp.maximum(vox_f, 0), 0)]
             rux, ruy, ruz, rrx, rry, rrz = _push_math(
                 ipr, px_f, py_f, pz_f, ux_f, uy_f, uz_f, qdt_2mc, cdt)
@@ -130,8 +130,9 @@ def main():
 
             # resume kernel input (push._resume_fixup:374-396)
             K2 = min(K, max(1024, K // 4))
-            voxk = (pk.tvox_of(g, jnp.clip(stw.vox, 0, g.nv - 1)) if tiled
-                    else stw.vox).astype(jnp.int32)
+            voxk = (stw.vox if lay == "plain"
+                    else pk.kvox_of(g, jnp.clip(stw.vox, 0, g.nv - 1))
+                    ).astype(jnp.int32)
             rxk = jnp.where(walk, stw.rx, 0.0)
             ryk = jnp.where(walk, stw.ry, 0.0)
             rzk = jnp.where(walk, stw.rz, 0.0)
@@ -148,7 +149,7 @@ def main():
                                   uxs, uys, uzs], axis=0)
             acc2, pout2, in_win2 = pk.fused_push_walk(
                 voxs, pstate11, table, params, strides, nvk,
-                n_walk=n_walk, resume=True, **lay2)
+                n_walk=n_walk, resume=True, wraps=wraps, mod=mod, **lay2)
             expt2 = ((pout2[pk.PEXPT] > 0.5) | ~in_win2) & walk_s
             sel2, n2, valid2 = compact_indices(expt2, K2, K)
             return (jnp.sum(walk), jnp.sum(walk_s),

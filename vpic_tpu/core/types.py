@@ -223,15 +223,16 @@ class GridArrays:
     voxel (>= 0) or a negative boundary code (see NEIGHBOR_*).  Mirrors
     ``grid_t::neighbor`` (grid.h:149-154) with local int32 encoding.
 
-    ``exc_t`` holds the fused kernel's 7 static exception-bit rows
-    (exc + 6 face-shifted copies, in the kernel's voxel space — tiled on
+    ``exc_t`` holds the fused kernel's 14 static exception/wrap rows
+    (exc bits + 6 face-shifted copies + wrap bits + 6 face-shifted
+    copies, in the kernel's voxel space — tiled/interior on
     large grids), computed ONCE at init: rebuilding them in-step cost
     ~27 ms/step at 512^2 (six 1M-element gathers + a neighbor row
     gather).
     """
 
     neighbor: jax.Array  # (nv, 6) int32
-    exc_t: jax.Array     # (7, nvk) f32 static exception rows
+    exc_t: jax.Array     # (14, nvk) f32 static exception/wrap rows
 
 
 # ---------------------------------------------------------------------------

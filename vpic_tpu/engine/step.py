@@ -259,23 +259,30 @@ def make_advance(
                 k = opts.resort_interval
                 if fused_push and sp.sort_interval > k:
                     k = sp.sort_interval
-                rate = 0.022 + min(0.01 * k, 0.05)
                 if fused_push:
+                    from ..particles import push_pallas as _pk
+                    lay = _pk.kernel_layout(g)
+                    if lay == "interior":
+                        # circular layout: wraps are ordinary in-window
+                        # strides, so inter-sort drift only exports the
+                        # few sustained same-direction multi-crossers
+                        rate = 0.022 + min(0.003 * k, 0.02)
+                    else:
+                        rate = 0.022 + min(0.01 * k, 0.05)
                     # an active axis whose voxel stride exceeds the deposit
                     # window (the slowest axis of a 3D grid) exports EVERY
                     # crossing to the fix-up — provision for a per-step
                     # crossing-rate fraction, not just sort drift
-                    from ..particles import push_pallas as _pk
-                    win = (512 if _pk.use_tiled(g)
-                           else _pk.pick_window(g.nxg)[0])
-                    strides = (_pk.tiled_face_strides(g)
-                               if _pk.use_tiled(g) else _pk.face_strides(g))
+                    win = _pk.kernel_window(g)[0]
+                    strides = _pk.kernel_strides(g)
                     if any(abs(s) >= win for s in strides):
                         rate += 0.04
-                    elif _pk.use_tiled(g) and _pk.tile_shape(g)[1] > 1:
+                    elif lay == "tiled" and _pk.tile_shape(g)[1] > 1:
                         # xy-tiled 3D: tile-seam crossings (~(1/tx+1/ty)
                         # of transverse crossers) export every step
                         rate += 0.02
+                else:
+                    rate = 0.022 + min(0.01 * k, 0.05)
                 fix_cap = max(8192, int(sp.max_np * rate))
             with scope("phase_push"):
                 if packed:

@@ -111,18 +111,10 @@ def make_grid_arrays(g: Grid, shard=(0, 0, 0)) -> GridArrays:
     from ..particles import push_pallas as pk
 
     nb = jnp.asarray(build_neighbor_table(g, shard))
-    # the fused kernel's static exception rows (exc + 6 face-shifted
-    # copies), computed once here instead of every step: roll wrap
-    # entries are don't-care (an out-of-range shift implies the face is
-    # already exceptional, so the lane exports before reading it)
-    if pk.use_tiled(g):
-        exc = pk.tiled_exception_bits(nb, g)
-        strides = pk.tiled_face_strides(g)
-    else:
-        exc = pk.exception_bits(nb, g)
-        strides = pk.face_strides(g)
-    exc_t = jnp.stack([exc] + [jnp.roll(exc, -s) for s in strides], axis=0)
-    return GridArrays(neighbor=nb, exc_t=exc_t)
+    # the fused kernel's 14 static exception/wrap rows (exc bits + 6
+    # face-shifted copies + wrap bits + 6 face-shifted copies, in this
+    # grid's kernel layout), computed once here instead of every step
+    return GridArrays(neighbor=nb, exc_t=pk.exception_rows(nb, g))
 
 
 def shard_origin(g: Grid, shard=(0, 0, 0)):

@@ -159,12 +159,12 @@ def sort_p(sp: SpeciesState, g: Grid | None = None) -> SpeciesState:
     so kernel blocks see monotone tiled windows."""
     big = jnp.int32(2 ** 30)
     key_src = sp.i
-    tiled = False
+    mapped = False
     if g is not None:
         from . import push_pallas as pk
-        if pk.use_tiled(g):
-            key_src = pk.tvox_of(g, jnp.maximum(sp.i, 0))
-            tiled = True
+        if pk.kernel_layout(g) != "plain":
+            key_src = pk.kvox_of(g, jnp.maximum(sp.i, 0))
+            mapped = True
     key = jnp.where(sp.alive, key_src, big)
 
     # The bitonic network's cost is ~linear in payload columns, so carry
@@ -187,9 +187,9 @@ def sort_p(sp: SpeciesState, g: Grid | None = None) -> SpeciesState:
     q = sp.q if sp.uniform_q else rest.pop(0)
     tag = rest.pop(0) if sp.has_tags else sp.tag
 
-    if tiled:
+    if mapped:
         from . import push_pallas as pk
-        vox = pk.vox_of_t(g, jnp.minimum(key_s, big - 1))
+        vox = pk.vox_of_k(g, jnp.minimum(key_s, big - 1))
     else:
         vox = key_s
     live = jnp.sum(sp.alive).astype(jnp.int32)

@@ -342,7 +342,7 @@ def _nm_debug(tag, **parts):
             **parts)
 
 
-def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
+def _resume_fixup(st, tgt, acc, neighbor, g: Grid, lay: str,
                   n_walk: int, table_t, params, strides, nvk: int,
                   kernel_opts=None):
     """Finish the walk of the K compacted fix-up lanes with a SECOND
@@ -374,8 +374,9 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
     K = st.x.shape[0]
     K2 = min(K, max(1024, K // 4))
 
-    voxk = (pk.tvox_of(g, jnp.clip(st.vox, 0, g.nv - 1)) if tiled
-            else st.vox).astype(jnp.int32)
+    voxk = (st.vox if lay == "plain"
+            else pk.kvox_of(g, jnp.clip(st.vox, 0, g.nv - 1))
+            ).astype(jnp.int32)
     walk = st.active
     rxk = jnp.where(walk, st.rx, 0.0)
     ryk = jnp.where(walk, st.ry, 0.0)
@@ -400,11 +401,9 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
                              ko.get("pre", 256)))
     acc_t, pout2, in_win2 = pk.fused_push_walk(
         voxs, pstate11, table_t, params, strides, nvk,
-        n_walk=n_walk, resume=True, **ko)
-    if tiled:
-        acc = acc + untile_acc(acc_t, g)
-    else:
-        acc = acc + acc_t[:, :g.nv].T
+        n_walk=n_walk, resume=True,
+        wraps=pk.kernel_wraps(g), mod=pk.kernel_mod(g), **ko)
+    acc = acc + unmap_acc(acc_t, g)
 
     # ---- the small XLA tail: kernel exports + window escapees ----
     expt2 = ((pout2[pk.PEXPT] > 0.5) | ~in_win2) & walk_s
@@ -413,7 +412,8 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
     pf2 = pout2[:, safe2]            # ONE (16, K2) column gather
     ps2 = pstate11[:, safe2]         # sorted inputs (u, q) in one gather
     kv2 = (pf2[pk.PVOX] + 0.5).astype(jnp.int32)
-    vox2 = (pk.vox_of_t(g, jnp.clip(kv2, 0, nvk - 1)) if tiled else kv2)
+    vox2 = (kv2 if lay == "plain"
+            else pk.vox_of_k(g, jnp.clip(kv2, 0, nvk - 1)))
     st3 = WalkState(
         x=pf2[pk.PX], y=pf2[pk.PY], z=pf2[pk.PZ],
         vox=vox2,
@@ -452,7 +452,8 @@ def _resume_fixup(st, tgt, acc, neighbor, g: Grid, tiled: bool,
     ux_f, uy_f, uz_f = F[3], F[4], F[5]
     rx_f, ry_f, rz_f = F[6], F[7], F[8]
     kvK = (pout2[pk.PVOX] + 0.5).astype(jnp.int32)
-    vox_f = pk.vox_of_t(g, jnp.clip(kvK, 0, nvk - 1)) if tiled else kvK
+    vox_f = (kvK if lay == "plain"
+             else pk.vox_of_k(g, jnp.clip(kvK, 0, nvk - 1)))
     vox_f = vox_f.at[tgt2].set(st3.vox, mode="drop")
     pcode_f = pcode_s.at[tgt2].set(st3.pcode, mode="drop")
     # exports beyond the K2 cap keep their frozen kernel state; their
@@ -734,40 +735,59 @@ def untile_acc(acc_t, g: Grid):
     return a.reshape(12, g.nv).T
 
 
+def map_interp(interp, g: Grid):
+    """(18, nvk) transposed interpolator columns in this grid's kernel
+    layout (push_pallas.kernel_layout) — pure slicing/reshapes, no
+    gather."""
+    from . import push_pallas as pk
+
+    lay = pk.kernel_layout(g)
+    if lay == "tiled":
+        return tile_interp(interp, g)
+    if lay == "interior":
+        # ghost-free circular layout: interior voxels of the single 2D
+        # z-plane in row-major (x fastest) order
+        nx, ny = g.nxg - 2, g.nyg - 2
+        i4 = interp.reshape(g.nzg, g.nyg, g.nxg, 18)
+        return i4[1, 1:1 + ny, 1:1 + nx].reshape(nx * ny, 18).T
+    return interp.T
+
+
+def unmap_acc(acc_t, g: Grid):
+    """(12, nvk_pad) kernel-layout accumulator -> (nv, 12) row-major."""
+    from . import push_pallas as pk
+
+    lay = pk.kernel_layout(g)
+    if lay == "tiled":
+        return untile_acc(acc_t, g)
+    if lay == "interior":
+        nx, ny = g.nxg - 2, g.nyg - 2
+        a = acc_t[:, :nx * ny].reshape(12, 1, ny, nx)
+        a = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        return a.reshape(12, g.nv).T
+    return acc_t[:, :g.nv].T
+
+
 def make_interp_t(interp, g: Grid, neighbor=None, exc_t=None):
     """Lane-padded (N_TABLE, nv_pad) gather table for the fused kernel:
-    18 transposed interpolator rows, the per-voxel exception-bit row, and
-    6 face-shifted exception rows (exc[v + stride_f]) so an in-kernel
-    crossing picks up its new voxel's exc bits without an extra gather
-    (species-independent; build once per step).  Large grids build the
-    table in the TILED-x layout (push_pallas.use_tiled) so the deposit
-    window stays 512 lanes regardless of nxg.
+    18 transposed interpolator rows plus the 14 static exception/wrap
+    rows (``push_pallas.exception_rows``: exc bits, 6 face-shifted exc
+    copies, wrap bits, 6 face-shifted wrap copies), all in this grid's
+    kernel layout — species-independent, built once per step.
 
-    ``exc_t`` is the STATIC (7, nvk) exception-row stack from
+    ``exc_t`` is the STATIC (14, nvk) exception-row stack from
     GridArrays (computed once at init); when absent it is rebuilt from
     ``neighbor`` (slow path kept for direct advance_p calls in tests)."""
     from . import push_pallas as pk
 
-    tiled = pk.use_tiled(g)
-    if tiled:
-        nvk = pk.n_tiled(g)
-        cols = tile_interp(interp, g)
-    else:
-        nvk = g.nv
-        cols = interp.T
+    nvk = pk.kernel_nv(g)
+    cols = map_interp(interp, g)
     if exc_t is None:
-        if tiled:
-            exc = pk.tiled_exception_bits(neighbor, g)
-            strides = pk.tiled_face_strides(g)
-        else:
-            exc = pk.exception_bits(neighbor, g)
-            strides = pk.face_strides(g)
-        exc_t = jnp.stack([exc] + [jnp.roll(exc, -s) for s in strides],
-                          axis=0)
+        exc_t = pk.exception_rows(neighbor, g)
     nv_pad = pk._round_up(nvk + 1, pk.LANE)
     t = jnp.zeros((pk.N_TABLE, nv_pad), jnp.float32)
     t = t.at[:18, :nvk].set(cols)
-    t = t.at[pk.EXC_ROW:pk.EXC_SHIFT_ROW + 6, :nvk].set(exc_t)
+    t = t.at[pk.EXC_ROW:pk.EXC_ROW + pk.N_EXC_ROWS, :nvk].set(exc_t)
     return t
 
 
@@ -802,33 +822,28 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
         table_t = make_interp_t(interp, g, neighbor)
     params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
 
-    # large grids run the kernel in the tiled-x layout: the deposit
-    # window stays 512 regardless of nxg (push_pallas tiling notes);
-    # conversions in/out are pure arithmetic
-    tiled = pk.use_tiled(g)
-    if tiled:
-        nvk = pk.n_tiled(g)
-        vox_k = pk.tvox_of(g, vox)
-        strides = pk.tiled_face_strides(g)
-    else:
-        nvk = g.nv
-        vox_k = vox
-        strides = pk.face_strides(g)
+    # the kernel runs in the grid's kernel layout (push_pallas
+    # kernel_layout: ghost-free CIRCULAR interior for 2D — periodic
+    # wraps become ordinary window-local strides —, tiled-xy for 3D,
+    # plain otherwise); conversions in/out are pure arithmetic
+    lay = pk.kernel_layout(g)
+    nvk = pk.kernel_nv(g)
+    vox_k = vox if lay == "plain" else pk.kvox_of(g, vox)
+    strides = pk.kernel_strides(g)
+    wraps = pk.kernel_wraps(g)
+    mod = pk.kernel_mod(g)
 
     ko = dict(kernel_opts or {})
     if "window" not in ko:
-        ko["window"], ko["pre"] = ((512, 256) if tiled
-                                   else pk.pick_window(g.nxg))
+        ko["window"], ko["pre"] = pk.kernel_window(g)
     if "block" not in ko:
         # sparse decks (few lanes/voxel) need wider windows or smaller
         # blocks so a sorted block's span stays coverable (pick_layout)
         ko.update(pk.pick_layout(nvk, max_np, ko["window"], ko["pre"]))
     acc_t, pout, in_win = pk.fused_push_walk(
-        vox_k, pstate_t, table_t, params, strides, nvk, n_walk=n_walk, **ko)
-    if tiled:
-        acc = acc + untile_acc(acc_t, g)
-    else:
-        acc = acc + acc_t[:, :g.nv].T
+        vox_k, pstate_t, table_t, params, strides, nvk, n_walk=n_walk,
+        wraps=wraps, mod=mod, **ko)
+    acc = acc + unmap_acc(acc_t, g)
 
     expt = pout[pk.PEXPT] > 0.5
     fix = alive & (expt | ~in_win)
@@ -840,8 +855,8 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     dx, dy, dz = pout[pk.PX], pout[pk.PY], pout[pk.PZ]
     uxo, uyo, uzo = pout[pk.PUX], pout[pk.PUY], pout[pk.PUZ]
     kvox = (pout[pk.PVOX] + 0.5).astype(jnp.int32)
-    if tiled:
-        kvox = pk.vox_of_t(g, jnp.clip(kvox, 0, nvk - 1))
+    if lay != "plain":
+        kvox = pk.vox_of_k(g, jnp.clip(kvox, 0, nvk - 1))
     # out-of-window lanes carry their INPUT voxel through PVOX (kernel
     # passthrough), so kvox is valid for every live lane; dead slots keep
     # their original voxel (zombies carry i < 0, which `alive` relies on)
@@ -861,10 +876,10 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
     px_f, py_f, pz_f = pf[pk.PX], pf[pk.PY], pf[pk.PZ]
     ux_f, uy_f, uz_f = pf[pk.PUX], pf[pk.PUY], pf[pk.PUZ]
     # redo -> original voxel, export -> kernel voxel (PVOX passthrough
-    # covers both); the tiled mapping runs on K lanes, not max_np
+    # covers both); the layout unmapping runs on K lanes, not max_np
     kvox_f = (pf[pk.PVOX] + 0.5).astype(jnp.int32)
-    vox_f = (pk.vox_of_t(g, jnp.clip(kvox_f, 0, nvk - 1)) if tiled
-             else kvox_f)
+    vox_f = (kvox_f if lay == "plain"
+             else pk.vox_of_k(g, jnp.clip(kvox_f, 0, nvk - 1)))
 
     # out-of-window lanes redo the full push from their original state
     ipr = interp[jnp.where(redo, jnp.maximum(vox_f, 0), 0)]
@@ -908,7 +923,7 @@ def _advance_p_fused(sp: SpeciesState, interp, acc, neighbor, g: Grid,
         # take the XLA streak walker (see _resume_fixup)
         (x_f, y_f, z_f, uxf, uyf, uzf, _, vox_fo,
          rx_f, ry_f, rz_f, pcode_f, tgt_w, acc, n_drop) = _resume_fixup(
-            st, tgt, acc, neighbor, g, tiled, n_walk, table_t,
+            st, tgt, acc, neighbor, g, lay, n_walk, table_t,
             params, strides, nvk, kernel_opts=ko)
     else:
         st, acc = streak_walk(st, acc, neighbor, g, n_walk)
@@ -963,16 +978,16 @@ def pack_species(sp: SpeciesState, g: Grid):
 
     alive = sp.alive
     vox = jnp.where(alive, sp.i, 0)
-    tiled = pk.use_tiled(g)
-    if tiled:
-        vox = pk.tvox_of(g, vox)
+    lay = pk.kernel_layout(g)
+    if lay != "plain":
+        vox = pk.kvox_of(g, vox)
     rows = jnp.stack([sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
                       jnp.where(alive, sp.q, 0.0),
                       vox.astype(jnp.float32)], axis=0)
     return PackedSpecies(
         name=sp.name, sid=sp.sid, max_np=sp.max_np,
         sort_interval=sp.sort_interval, uniform_q=sp.uniform_q,
-        tiled=tiled, q_m=sp.q_m, np=sp.np, nm=sp.nm, pk=rows)
+        tiled=(lay != "plain"), q_m=sp.q_m, np=sp.np, nm=sp.nm, pk=rows)
 
 
 def unpack_species(psp, g: Grid) -> SpeciesState:
@@ -983,8 +998,8 @@ def unpack_species(psp, g: Grid) -> SpeciesState:
 
     p = psp.pk
     vox = (p[7] + 0.5).astype(jnp.int32)
-    if psp.tiled:
-        vox = pk.vox_of_t(g, vox)
+    if pk.kernel_layout(g) != "plain":
+        vox = pk.vox_of_k(g, vox)
     in_range = jnp.arange(psp.max_np, dtype=jnp.int32) < psp.np
     zf = jnp.zeros((psp.max_np,), jnp.float32)
     zi = jnp.zeros((psp.max_np,), jnp.int32)
@@ -1019,27 +1034,20 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
            jnp.float32(g.cvac * g.dt * g.rdz))
     params = jnp.stack([qdt_2mc, *cdt]).astype(jnp.float32)
 
-    tiled = psp.tiled
-    if tiled:
-        nvk = pk.n_tiled(g)
-        strides = pk.tiled_face_strides(g)
-    else:
-        nvk = g.nv
-        strides = pk.face_strides(g)
+    lay = pk.kernel_layout(g)
+    nvk = pk.kernel_nv(g)
+    strides = pk.kernel_strides(g)
 
     ko = dict(kernel_opts or {})
     if "window" not in ko:
-        ko["window"], ko["pre"] = ((512, 256) if tiled
-                                   else pk.pick_window(g.nxg))
+        ko["window"], ko["pre"] = pk.kernel_window(g)
     if "block" not in ko:
         ko.update(pk.pick_layout(nvk, max_np, ko["window"], ko["pre"]))
     vox_k = (psp.pk[7] + 0.5).astype(jnp.int32)
     acc_t, pout, in_win = pk.fused_push_walk(
-        vox_k, psp.pk, table_t, params, strides, nvk, n_walk=n_walk, **ko)
-    if tiled:
-        acc = acc + untile_acc(acc_t, g)
-    else:
-        acc = acc + acc_t[:, :g.nv].T
+        vox_k, psp.pk, table_t, params, strides, nvk, n_walk=n_walk,
+        wraps=pk.kernel_wraps(g), mod=pk.kernel_mod(g), **ko)
+    acc = acc + unmap_acc(acc_t, g)
 
     alive = jnp.arange(max_np, dtype=jnp.int32) < psp.np
     expt = pout[pk.PEXPT] > 0.5
@@ -1054,8 +1062,8 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
     ux_f, uy_f, uz_f = pf[pk.PUX], pf[pk.PUY], pf[pk.PUZ]
     q_f = jnp.where(valid, pf[pk.PQ], 0.0)
     kvox_f = (pf[pk.PVOX] + 0.5).astype(jnp.int32)
-    vox_f = (pk.vox_of_t(g, jnp.clip(kvox_f, 0, nvk - 1)) if tiled
-             else kvox_f)                      # untiled for the walk
+    vox_f = (kvox_f if lay == "plain"          # unmapped for the walk
+             else pk.vox_of_k(g, jnp.clip(kvox_f, 0, nvk - 1)))
 
     ipr = interp[jnp.where(redo, jnp.maximum(vox_f, 0), 0)]
     rux, ruy, ruz, rrx, rry, rrz = _push_math(
@@ -1086,7 +1094,7 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
     if _resume_enabled():
         (x_f, y_f, z_f, uxf, uyf, uzf, q_s, vox_fo,
          _, _, _, pcode_f, tgt_w, acc, n_drop) = _resume_fixup(
-            st, tgt, acc, neighbor, g, tiled, n_walk, table_t,
+            st, tgt, acc, neighbor, g, lay, n_walk, table_t,
             params, strides, nvk, kernel_opts=ko)
     else:
         st, acc = streak_walk(st, acc, neighbor, g, n_walk)
@@ -1096,8 +1104,9 @@ def advance_p_packed(psp, interp, acc, neighbor, g: Grid,
         n_drop = jnp.int32(0)
 
     # ---- one (8, K) scatter back into the state block ----
-    voxk_new = (pk.tvox_of(g, jnp.maximum(vox_fo, 0)) if tiled
-                else vox_fo).astype(jnp.float32)
+    voxk_new = (vox_fo if lay == "plain"
+                else pk.kvox_of(g, jnp.maximum(vox_fo, 0))
+                ).astype(jnp.float32)
     upd = jnp.stack([x_f, y_f, z_f, uxf, uyf, uzf,
                      q_s, voxk_new], axis=0)          # (8, K)
     new_pk = pout[0:8].at[:, tgt_w].set(upd, mode="drop")

@@ -877,30 +877,46 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         pstate_t = jnp.concatenate(
             [pstate_t, jnp.zeros((nr, npad - n), jnp.float32)], axis=1)
 
-    # Per-block MIN, not first-lane: a near-sorted array's few wrap
-    # crossers carry far-end voxels ANYWHERE, including lane 0 — a single
-    # high outlier as a block's representative would, via the running max
-    # below, poison EVERY later block's start and mass-export the whole
-    # species for a step (the round-4 "nm spike": ~np drops/step whenever
-    # the corner particle wrapped between sorts).  With the min, a high
-    # outlier only exports itself; a LOW outlier deflates its own block's
-    # start, which the running max clamps back to the previous block's.
-    starts_raw = jnp.maximum(
-        jnp.min(vox.reshape(npad // block, block), axis=1) - pre, 0)
-    # circular layouts let starts run to the end of the mod base (their
-    # windows wrap through the image columns); linear layouts clamp so
-    # start + window stays inside the table
-    start_max = (max((mod - 1) // LANE * LANE, 0) if mod
-                 else max(nv_pad - window, 0))
-    starts = jnp.minimum((starts_raw // LANE) * LANE,
-                         start_max).astype(jnp.int32)
-    # dead lanes carry voxel 0; a dead tail after sorted live lanes would
-    # break monotonicity, so clamp starts to a running max (dead blocks
-    # deposit q=0 slabs wherever their window lands)
-    starts = jax.lax.associative_scan(jnp.maximum, starts)
-    loc = vox - jnp.repeat(starts, block)
     if mod:
+        # CIRCULAR layouts: the block's MEDIAN lane places the window
+        # (start = median - pre, wrapped mod the base).  In circular
+        # space a lane's voxel moves by small strides on EVERY crossing
+        # — wraps included — so between sorts a block's lanes stay
+        # within +-drift of their sorted position and the median is
+        # robust against the few fast drifters (which only export
+        # themselves).  No running-max monotonicity: windows wrap
+        # through the image columns, and the resident accumulator takes
+        # dynamic-offset += per block (mod layouts never take the
+        # perblock slab-combine epilogue, which needs sorted starts).
+        mids = vox.reshape(npad // block, block)[:, block // 2]
+        starts_raw = mids - pre
+        starts_raw = jnp.where(starts_raw < 0, starts_raw + mod,
+                               starts_raw)
+        start_max = max((mod - 1) // LANE * LANE, 0)
+        starts = jnp.minimum((starts_raw // LANE) * LANE,
+                             start_max).astype(jnp.int32)
+        loc = vox - jnp.repeat(starts, block)
         loc = jnp.where(loc < 0, loc + mod, loc)
+    else:
+        # Per-block MIN, not first-lane: a near-sorted array's few wrap
+        # crossers carry far-end voxels ANYWHERE, including lane 0 — a
+        # single high outlier as a block's representative would, via the
+        # running max below, poison EVERY later block's start and
+        # mass-export the whole species for a step (the round-4 "nm
+        # spike": ~np drops/step whenever the corner particle wrapped
+        # between sorts).  With the min, a high outlier only exports
+        # itself; a LOW outlier deflates its own block's start, which
+        # the running max clamps back to the previous block's.
+        starts_raw = jnp.maximum(
+            jnp.min(vox.reshape(npad // block, block), axis=1) - pre, 0)
+        start_max = max(nv_pad - window, 0)
+        starts = jnp.minimum((starts_raw // LANE) * LANE,
+                             start_max).astype(jnp.int32)
+        # dead lanes carry voxel 0; a dead tail after sorted live lanes
+        # would break monotonicity, so clamp starts to a running max
+        # (dead blocks deposit q=0 slabs wherever their window lands)
+        starts = jax.lax.associative_scan(jnp.maximum, starts)
+        loc = vox - jnp.repeat(starts, block)
     in_window = (loc >= 0) & (loc < window)
     # the kernel recomputes loc from the voxel (pstate row 7, f32-exact
     # below 2^24); only in_window is needed host-side.  A 7-row pstate
@@ -935,6 +951,12 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
     if perblock is None:
         perblock = (16 * nv_ext * 4 + 4 * N_TABLE * window * 4
                     >= 12 * 2 ** 20)
+    if mod:
+        # circular starts are non-monotone (windows wrap); the perblock
+        # slab-combine epilogue needs sorted starts, so mod layouts keep
+        # the VMEM-resident accumulator (use_interior gates the grid
+        # size so it fits)
+        perblock = False
     if resident is None:
         resident = (16 + N_TABLE) * nv_ext * 4 < 11 * 2 ** 20
     if resident:
