@@ -180,6 +180,8 @@ def deck():
 OUT = os.environ.get("SIGMA_OUT", "sigma_out")
 ENERGY_INTERVAL = _env("SIGMA_ENERGY_INTERVAL", 100)
 FIELD_INTERVAL = _env("SIGMA_FIELD_INTERVAL", 0)
+PARTICLE_INTERVAL = _env("SIGMA_PARTICLE_INTERVAL", 0)
+RESTART_INTERVAL = _env("SIGMA_RESTART_INTERVAL", 0)
 TRACER_INTERVAL = _env("SIGMA_TRACER_INTERVAL", 0)
 SPECTRUM_INTERVAL = _env("SIGMA_SPECTRUM_INTERVAL", 0)
 NEX = _env("SIGMA_NEX", 200)             # energy bins (global->nex)
@@ -187,15 +189,22 @@ EMAX = _env("SIGMA_EMAX", 120.0, float)  # max energy in me*c^2 units
 
 
 def diagnostics(sim):
-    """begin_diagnostics analogue (sigma.cxx:800-1100): energies file,
-    banded field/hydro dumps, tracer dumps, energy-band spectra."""
+    """begin_diagnostics analogue (sigma.cxx:800-1100): the standard
+    production inventory (rundata + global header at step 0, energies,
+    banded field/hydro dumps, particle dumps, rotating restart) via
+    ``Simulation.standard_diagnostics``, plus the deck-specific tracer
+    dumps and energy-band spectra."""
+    std = getattr(sim, "_sigma_std_diag", None)
+    if std is None:
+        std = sim.standard_diagnostics(
+            OUT, energies_interval=ENERGY_INTERVAL,
+            fields_interval=FIELD_INTERVAL,
+            particle_interval=PARTICLE_INTERVAL,
+            particle_species=("electron", "ion"),
+            restart_interval=RESTART_INTERVAL)
+        sim._sigma_std_diag = std
+    std()
     s = sim.step_count
-    if ENERGY_INTERVAL and s % ENERGY_INTERVAL == 0:
-        sim.dump_energies(f"{OUT}/energies.txt")
-    if FIELD_INTERVAL and s % FIELD_INTERVAL == 0:
-        sim.dump_fields(f"{OUT}/fields/fields")
-        sim.dump_hydro("electron", f"{OUT}/hydro/ehydro")
-        sim.dump_hydro("ion", f"{OUT}/hydro/ihydro")
     if TRACER_INTERVAL and s % TRACER_INTERVAL == 0:
         sim.dump_particles("e_tracer", f"{OUT}/tracer/etracer")
         sim.dump_particles("i_tracer", f"{OUT}/tracer/itracer")

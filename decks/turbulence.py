@@ -194,6 +194,8 @@ def deck():
 OUT = os.environ.get("TURB_OUT", "turb_out")
 ENERGY_INTERVAL = _env("TURB_ENERGY_INTERVAL", 50)
 FIELD_INTERVAL = _env("TURB_FIELD_INTERVAL", 0)
+PARTICLE_INTERVAL = _env("TURB_PARTICLE_INTERVAL", 0)
+RESTART_INTERVAL = _env("TURB_RESTART_INTERVAL", 0)
 TRACER_INTERVAL = _env("TURB_TRACER_INTERVAL", 0)
 SPECTRUM_INTERVAL = _env("TURB_SPECTRUM_INTERVAL", 0)
 NEX = _env("TURB_NEX", 200)
@@ -201,16 +203,24 @@ EMAX = _env("TURB_EMAX", 50.0, float)
 
 
 def diagnostics(sim):
-    """begin_diagnostics analogue (turbulence.cxx:939-983): energies,
-    banded field/hydro dumps, tracer dumps, per-species spectra written
-    next to the hydro files (SPEC_FILE_FORMAT)."""
+    """begin_diagnostics analogue (turbulence.cxx:939-1247): the standard
+    production inventory — rundata (grid/materials/species + global
+    header at step 0), interval energies, banded field/hydro dumps,
+    particle dumps, and the two-slot rotating restart — via
+    ``Simulation.standard_diagnostics``, plus the deck-specific tracer
+    dumps and per-species energy-band spectra (SPEC_FILE_FORMAT)
+    written next to the hydro files (energy.cxx)."""
+    std = getattr(sim, "_turb_std_diag", None)
+    if std is None:
+        std = sim.standard_diagnostics(
+            OUT, energies_interval=ENERGY_INTERVAL,
+            fields_interval=FIELD_INTERVAL,
+            particle_interval=PARTICLE_INTERVAL,
+            particle_species=("eT", "eB", "iT", "iB"),
+            restart_interval=RESTART_INTERVAL)
+        sim._turb_std_diag = std
+    std()
     s = sim.step_count
-    if ENERGY_INTERVAL and s % ENERGY_INTERVAL == 0:
-        sim.dump_energies(f"{OUT}/energies.txt")
-    if FIELD_INTERVAL and s % FIELD_INTERVAL == 0:
-        sim.dump_fields(f"{OUT}/fields/fields")
-        for name in ("eT", "eB", "iT", "iB"):
-            sim.dump_hydro(name, f"{OUT}/hydro/{name}hydro")
     if TRACER_INTERVAL and s % TRACER_INTERVAL == 0:
         sim.dump_particles("eR", f"{OUT}/tracer/etracer")
         sim.dump_particles("iR", f"{OUT}/tracer/itracer")

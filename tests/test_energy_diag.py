@@ -108,3 +108,39 @@ def test_turbulence_deck_builds_and_steps(monkeypatch, tmp_path):
         assert int(np.asarray(sp.np)) > 0
     out = sim.dump_energy_diag("eT", tmp_path, nex=8, emax=50.0, vth=0.6)
     assert out and all(p.exists() for pair in out for p in pair)
+
+
+def test_turbulence_deck_standard_inventory(monkeypatch, tmp_path):
+    """A short flagship-deck run with the in-deck diagnostics() must
+    reproduce the reference production inventory by default — rundata
+    (grid/materials/species/energies) + global header, banded fields +
+    hydro per species, particle dumps, rotating restart (turbulence.cxx
+    begin_diagnostics, :1015-1247)."""
+    monkeypatch.setenv("TURB_NX", "8")
+    monkeypatch.setenv("TURB_NY", "8")
+    monkeypatch.setenv("TURB_NZ", "8")
+    monkeypatch.setenv("TURB_PPC", "2")
+    monkeypatch.setenv("TURB_OUT", str(tmp_path))
+    monkeypatch.setenv("TURB_ENERGY_INTERVAL", "2")
+    monkeypatch.setenv("TURB_FIELD_INTERVAL", "2")
+    monkeypatch.setenv("TURB_PARTICLE_INTERVAL", "4")
+    monkeypatch.setenv("TURB_RESTART_INTERVAL", "4")
+    monkeypatch.setenv("TURB_TRACER_INTERVAL", "4")
+    import importlib
+
+    import decks.turbulence as turb
+    importlib.reload(turb)
+    sim = turb.deck()
+    sim.finalize()
+    turb.diagnostics(sim)              # step 0: one-time rundata dumps
+    for _ in range(4):
+        sim.advance(1)
+        turb.diagnostics(sim)
+    for rel in ("rundata/grid.0", "rundata/materials", "rundata/species",
+                "rundata/energies", "global.vpc",
+                "fields/fields.2.0", "fields/fields.4.0",
+                "hydro/eThydro.2.0", "hydro/iBhydro.4.0",
+                "particle/eTparticle.4.0", "particle/iBparticle.4.0",
+                "restart1/restart.json",
+                "tracer/etracer.4.0", "tracer/itracer.4.0"):
+        assert (tmp_path / rel).exists(), rel
