@@ -1,127 +1,90 @@
-"""Compare particle-sort strategies on the real chip.
+"""On-chip A/B of the packed re-sort paths at bench scale: the
+multi-operand bitonic (aux.sort_p_packed's lax.sort) vs the O(n) two-run
+merge (sort_pallas.merge_sort_packed), on a synthetic near-sorted block
+shaped like the 128^2/2M-per-species bench species.
 
-Usage: python tools/sort_bench.py [n]
+Usage: python tools/sort_bench.py [n] [nvk] [mover_frac]
 """
 
-import os
 import sys
 import time
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.setrecursionlimit(20_000)
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from vpic_tpu.particles import sort_pallas as sps  # noqa: E402
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_125_824
+nvk = int(sys.argv[2]) if len(sys.argv) > 2 else 16_384
+frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05
+
+rng = np.random.default_rng(0)
+np_ = int(n * 0.98)
+key = np.sort(rng.integers(0, nvk, size=np_)).astype(np.int32)
+pk = np.zeros((8, n), np.float32)
+pk[:7, :np_] = rng.standard_normal((7, np_)).astype(np.float32)
+pk[7, :np_] = key
+key0 = np.full((n,), nvk, np.int32)
+key0[:np_] = key
+v = np.arange(nvk + 3, dtype=np.int32)
+full = np.concatenate([key, np.full((n - np_,), nvk, np.int32)])
+ctot = np.searchsorted(full, v, side="left").astype(np.int32)
+
+# perturb: neighbour strides (+-1, +-nx) like one resort interval of drift
+m = rng.random(np_) < frac
+delta = rng.choice([-128, -1, 1, 128], size=np_)
+pk[7, :np_] = np.where(m, (key + delta) % nvk, key).astype(np.float32)
+
+pkj = jnp.asarray(pk)
+npj = jnp.int32(np_)
+k0j = jnp.asarray(key0)
+ctj = jnp.asarray(ctot)
+
+m_cap = -(-int(n * max(frac * 1.4, 0.02)) // 128) * 128
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_250_000
-    rng = np.random.default_rng(0)
-    key = jnp.asarray(rng.integers(0, 17000, n).astype(np.int32))
-    # the real workload is NEAR-sorted: one step moves ~20% of lanes by
-    # +-64 (tiled y) or +-1 (x) in key value
-    ks0 = np.sort(rng.integers(0, 17000, n).astype(np.int32))
-    mv = rng.random(n)
-    disp = np.where(mv < 0.08, 64, np.where(mv < 0.16, -64,
-                    np.where(mv < 0.24, 1, np.where(mv < 0.32, -1, 0))))
-    key_near = jnp.asarray(np.clip(ks0 + disp, 0, 17000 - 1).astype(np.int32))
-    cols = [jnp.asarray(rng.normal(size=n).astype(np.float32))
-            for _ in range(8)]
-
-    def timeit(tag, fn, *args):
-        # a device->host scalar fetch is the only reliable barrier over
-        # the tunneled backend (block_until_ready returns early there)
-        out = fn(*args)
-        float(jnp.sum(out[0]))
-        reps = 20
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        float(jnp.sum(out[0]))
-        dt = (time.perf_counter() - t0) / reps
-        print(f"{tag:40s} {dt*1e3:7.2f} ms")
-        return out
-
-    @jax.jit
-    def multi_operand(key, *cols):
-        return jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
-
-    @jax.jit
-    def argsort_gather_packed(key, *cols):
-        ks, perm = jax.lax.sort(
-            (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
-            num_keys=1, is_stable=True)
-        packed = jnp.stack(cols, axis=-1)       # (n, 8)
-        out = packed[perm]
-        return (ks,) + tuple(out[:, i] for i in range(len(cols)))
-
-    @jax.jit
-    def argsort_gather_cols(key, *cols):
-        ks, perm = jax.lax.sort(
-            (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
-            num_keys=1, is_stable=True)
-        return (ks,) + tuple(c[perm] for c in cols)
-
-    @jax.jit
-    def key_iota_only(key):
-        return jax.lax.sort(
-            (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
-            num_keys=1, is_stable=True)
-
-    @jax.jit
-    def multi_operand_unstable(key, *cols):
-        return jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
-
-    @jax.jit
-    def multi_operand_7(key, *cols):
-        return jax.lax.sort((key,) + cols[:6], num_keys=1, is_stable=True)
-
-    def oddeven_passes(npass, blk=65536):
-        """npass rounds of block-pair odd-even merge: vmapped sorts of
-        adjacent 2*blk chunks (offset alternates blk).  Restores bounded
-        disorder at ~log^2(2*blk)/log^2(n) the cost of a full sort."""
-
-        @jax.jit
-        def f(key, *cols):
-            ops = (key,) + cols
-            m = key.shape[0]
-            for p in range(npass):
-                off = blk if p % 2 else 0
-                nseg = (m - off) // (2 * blk)
-                if nseg == 0:
-                    continue
-                lo, hi = off, off + nseg * 2 * blk
-                segs = tuple(o[lo:hi].reshape(nseg, 2 * blk) for o in ops)
-                sorted_segs = jax.vmap(
-                    lambda *s: jax.lax.sort(s, num_keys=1, is_stable=True)
-                )(*segs)
-                ops = tuple(
-                    jax.lax.concatenate(
-                        [o[:lo], ss.reshape(-1), o[hi:]], 0)
-                    for o, ss in zip(ops, sorted_segs))
-            return ops
-
-        return f
-
-    timeit("lax.sort 9 operands (current)", multi_operand, key, *cols)
-    timeit("lax.sort 9 op UNSTABLE", multi_operand_unstable, key, *cols)
-    timeit("lax.sort 7 operands", multi_operand_7, key, *cols)
-    timeit("argsort + packed row-gather", argsort_gather_packed, key, *cols)
-    timeit("argsort + 8 col gathers", argsort_gather_cols, key, *cols)
-    timeit("argsort alone (key+iota)", key_iota_only, key)
-    print("---- near-sorted key (one unsorted step of drift) ----")
-    timeit("NEAR lax.sort 9 operands", multi_operand, key_near, *cols)
-    timeit("NEAR lax.sort 9 op UNSTABLE", multi_operand_unstable,
-           key_near, *cols)
-    timeit("NEAR oddeven x2 64k", oddeven_passes(2), key_near, *cols)
-    timeit("NEAR oddeven x2 128k", oddeven_passes(2, 131072),
-           key_near, *cols)
-    o = timeit("NEAR oddeven x3 64k", oddeven_passes(3), key_near, *cols)
-    k2 = np.asarray(o[0])
-    print(f"  oddeven x3 unsorted frac: "
-          f"{np.mean(k2[1:] < k2[:-1]):.2e}")
+def timeit(f, *args, reps=10):
+    # the axon tunnel does not sync on block_until_ready; materializing a
+    # scalar does (tools/prim_bench.py methodology)
+    out = f(*args)
+    _ = [np.asarray(x.ravel()[0]) for x in jax.tree.leaves(out)][0]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+    _ = [np.asarray(x.ravel()[0]) for x in jax.tree.leaves(out)][0]
+    return (time.perf_counter() - t0) / reps, out
 
 
-if __name__ == "__main__":
-    main()
+@jax.jit
+def bitonic(p):
+    key = (p[7] + 0.5).astype(jnp.int32)
+    key = jnp.where(jnp.arange(n) < np_, key, jnp.int32(2 ** 30))
+    out = jax.lax.sort((key,) + tuple(p[r] for r in range(7)),
+                       num_keys=1, is_stable=False)
+    return jnp.stack(out[1:8] + (out[0].astype(jnp.float32),), axis=0)
+
+
+t_bit, _ = timeit(bitonic, pkj)
+print(f"bitonic 7-op      {t_bit * 1e3:8.2f} ms")
+
+merge = lambda p, k0, ct: sps.merge_sort_packed(  # noqa: E731
+    p, npj, k0, ct, nvk, m_cap=m_cap, B=512, W=512, win_r=1024)
+t_mrg, (pk2, k02, ct2, anom) = timeit(merge, pkj, k0j, ctj)
+print(f"merge (m_cap={m_cap})  {t_mrg * 1e3:8.2f} ms   anomaly={int(anom)}")
+
+# steady state: re-perturb the merged output and sort again
+key2 = np.asarray(pk2[7, :np_]).astype(np.int32)
+m2 = rng.random(np_) < frac
+d2 = rng.choice([-128, -1, 1, 128], size=np_)
+pk3 = np.asarray(pk2).copy()
+pk3[7, :np_] = np.where(m2, (key2 + d2) % nvk, key2).astype(np.float32)
+t_ss, (pk4, _, _, anom2) = timeit(merge, jnp.asarray(pk3), k02, ct2)
+k4 = np.asarray(pk4[7, :np_]).astype(np.int32)
+ok = bool(np.all(np.diff(k4) >= 0))
+print(f"merge steady       {t_ss * 1e3:8.2f} ms   anomaly={int(anom2)} "
+      f"sorted={ok}")
+print(f"speedup (steady): {t_bit / t_ss:.2f}x")

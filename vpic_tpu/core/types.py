@@ -443,6 +443,12 @@ class PackedSpecies:
     np: jax.Array           # live particle count (scalar int32)
     nm: jax.Array           # dropped-mover count (scalar int32)
     pk: jax.Array           # (8, max_np) f32 kernel-layout state rows
+    # merge re-sort carry (particles/sort_pallas.py): the previous sort's
+    # sorted key snapshot (key0[0] < 0 = no snapshot yet -> one bitonic
+    # sort re-establishes it) and its cumulative key table, so steady-state
+    # re-sorts are O(n) two-run merges instead of O(n log^2 n) bitonics
+    key0: jax.Array         # (max_np,) int32
+    ctot: jax.Array         # (kernel_nv+3,) int32
 
     def replace(self, **kw) -> "PackedSpecies":
         return dataclasses.replace(self, **kw)

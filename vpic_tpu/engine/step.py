@@ -59,6 +59,11 @@ class StepOptions:
     # Fully fused Pallas push kernel (gather+Boris+segment1+deposit in one
     # kernel; needs interp+acc resident in VMEM; None = auto)
     fused_push: bool | None = None
+    # O(n) two-run merge re-sort for packed species (sort_pallas.py)
+    # instead of the O(n log^2 n) bitonic; None = auto (on wherever the
+    # packed cycle runs).  Falls back to the bitonic in-graph whenever
+    # its provisioning is defeated — never wrong, only slower.
+    merge_sort: bool | None = None
 
 
 def _interval_hit(step, interval: int):
@@ -210,8 +215,30 @@ def make_advance(
             ds = do_sort if isinstance(do_sort, bool) else do_sort[si]
             if packed:
                 if ds:
+                    merge = opts.merge_sort
+                    if merge is None:
+                        # opt-in: on this backend lax.sort is pass-count
+                        # (latency) bound, ~flat in n below ~600k, so the
+                        # composed-XLA merge path LOSES to the bitonic at
+                        # bench scale (74 ms vs 14 ms standalone; the
+                        # searchsorted/compaction/small-sort glue is
+                        # latency-bound too — tools/sort_bench.py,
+                        # NOTES_ROUND5.md).  The kernel itself is correct
+                        # and tested; a future full kernelization of the
+                        # table/extract stages is the path to <=3 ms.
+                        import os as _os
+                        merge = bool(_os.environ.get(
+                            "VPIC_TPU_FORCE_MERGE_SORT"))
                     with scope("phase_sort"):
-                        sp = paux.sort_p_packed(sp, g)
+                        if merge:
+                            # drift between THIS species' sorts provisions
+                            # the mover buffer (same model as fix_cap)
+                            k_eff = opts.resort_interval
+                            if sp.sort_interval > k_eff:
+                                k_eff = sp.sort_interval
+                            sp = paux.sort_p_packed_merge(sp, g, k_eff)
+                        else:
+                            sp = paux.sort_p_packed(sp, g)
             elif sorted_deposit:
                 # Only the FUSED kernel tolerates inter-sort drift (its
                 # window pre-bias + out-of-window fix-up); the sorted-but-

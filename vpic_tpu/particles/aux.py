@@ -212,6 +212,51 @@ def sort_p(sp: SpeciesState, g: Grid | None = None) -> SpeciesState:
     )
 
 
+def sort_p_packed_merge(psp, g: Grid, steps_since_sort: int = 1):
+    """O(n) re-sort for a PackedSpecies via the two-run merge kernel
+    (particles/sort_pallas.py — the TPU counting-sort analogue of
+    sort_p.c:16-102): only the lanes whose key changed since the last
+    sort (~2%/step) pay a bitonic; the sorted residual and the sorted
+    movers merge in one Pallas pass.  Falls back to the bitonic inside a
+    ``lax.cond`` whenever provisioning is defeated (first sort after
+    pack/restore, mover overflow, sparse/wide key spans) — never wrong.
+
+    ``steps_since_sort`` (static) provisions the mover buffer from the
+    same crossing-rate traffic model as the fix-up cap (NOTES_ROUND4):
+    unique movers/sort ~ 3% + 2%/step of drift.  In-kernel consistency
+    anomalies (0 in any valid run) are counted into ``nm`` so evidence
+    runs surface them exactly like dropped movers."""
+    import os
+
+    import jax
+
+    from . import push_pallas as pk
+    from . import sort_pallas as sps
+
+    n = psp.max_np
+    if n % sps.LANE:
+        # engine capacities are 1024-aligned (deck/api.define_species);
+        # unaligned direct callers get the bitonic
+        return sort_p_packed(psp, g)
+    nvk = pk.kernel_nv(g)
+    frac = os.environ.get("VPIC_TPU_MERGE_MCAP_FRAC")
+    frac = (float(frac) if frac
+            else min(0.5, 0.03 + 0.02 * steps_since_sort))
+    B = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
+    # residual window = 2B lanes: covers a B-rank residual range up to 50%
+    # local mover density (beyond that fit_ok falls back for that step);
+    # wider windows pay linearly in HBM traffic for the gathered windows
+    win_r = min(2 * B, n)
+    m_cap = int(min(n, max(16384, n * frac, B + sps.LANE)))
+    m_cap = -(-m_cap // sps.LANE) * sps.LANE
+    pk_new, key0, ctot, anomaly = sps.merge_sort_packed(
+        psp.pk, psp.np, psp.key0, psp.ctot, nvk,
+        m_cap=m_cap, B=B, W=512, win_r=win_r,
+        interpret=jax.default_backend() == "cpu")
+    return psp.replace(pk=pk_new, key0=key0, ctot=ctot,
+                       nm=psp.nm + anomaly)
+
+
 def sort_p_packed(psp, g: Grid):
     """sort_p for a PackedSpecies: the key is row 7 (already in kernel
     space — tiled when the grid is tiled), payload rows 0..5 (+6 when
@@ -236,4 +281,7 @@ def sort_p_packed(psp, g: Grid):
     vox_row = jnp.where(in_range, key_s, 0).astype(jnp.float32)
     new_pk = jnp.stack([out[1], out[2], out[3], out[4], out[5], out[6],
                         q_row, vox_row], axis=0)
-    return psp.replace(pk=new_pk)
+    # this path does not maintain the merge-sort carry — invalidate the
+    # snapshot so a later sort_p_packed_merge re-establishes it
+    return psp.replace(pk=new_pk,
+                       key0=jnp.full((n,), -1, jnp.int32))

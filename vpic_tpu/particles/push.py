@@ -984,10 +984,15 @@ def pack_species(sp: SpeciesState, g: Grid):
     rows = jnp.stack([sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
                       jnp.where(alive, sp.q, 0.0),
                       vox.astype(jnp.float32)], axis=0)
+    nvk = pk.kernel_nv(g)
     return PackedSpecies(
         name=sp.name, sid=sp.sid, max_np=sp.max_np,
         sort_interval=sp.sort_interval, uniform_q=sp.uniform_q,
-        tiled=(lay != "plain"), q_m=sp.q_m, np=sp.np, nm=sp.nm, pk=rows)
+        tiled=(lay != "plain"), q_m=sp.q_m, np=sp.np, nm=sp.nm, pk=rows,
+        # merge re-sort carry: no snapshot yet (key0[0] < 0) — the first
+        # sort runs the bitonic and establishes key0/ctot
+        key0=jnp.full((sp.max_np,), -1, jnp.int32),
+        ctot=jnp.zeros((nvk + 3,), jnp.int32))
 
 
 def unpack_species(psp, g: Grid) -> SpeciesState:
