@@ -292,8 +292,11 @@ def make_advance(
                     if lay == "interior":
                         # circular layout: wraps are ordinary in-window
                         # strides, so inter-sort drift only exports the
-                        # few sustained same-direction multi-crossers
-                        rate = 0.022 + min(0.003 * k, 0.02)
+                        # few sustained same-direction multi-crossers.
+                        # r5 sweep at the bench shape (VPIC_TPU_FIX_CAP):
+                        # peak n_fix ~ 0.61% of max_np (clean at 1.16%,
+                        # 696 drops/32 steps at 0.58%) -> ~50% margin
+                        rate = 0.006 + min(0.0015 * k, 0.012)
                     else:
                         rate = 0.022 + min(0.01 * k, 0.05)
                     # an active axis whose voxel stride exceeds the deposit
