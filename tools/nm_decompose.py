@@ -37,7 +37,9 @@ def main():
                                          compact_indices_hier,
                                          resolve_crossing, _push_math)
 
-    sim = _build(nx=nx, ny=nx, nz=1, npart=npart // 2, n_walk=n_walk)
+    nz = int(os.environ.get("NM_NZ", 1))
+    ny = int(os.environ.get("NM_NY", nx))
+    sim = _build(nx=nx, ny=ny, nz=nz, npart=npart // 2, n_walk=n_walk)
     g = sim.grid
     sim.advance(warm)
     st = sim.state
@@ -54,8 +56,21 @@ def main():
         k = sim.opts.resort_interval
         if sp.sort_interval > k:
             k = sp.sort_interval
-        frac = 256 if k <= 2 else (96 if k <= 8 else 24)
-        fix_cap = max(8192, max_np // frac)
+        # mirror the step.py traffic model (env override for sweeps)
+        if os.environ.get("VPIC_TPU_FIX_CAP"):
+            fix_cap = int(os.environ["VPIC_TPU_FIX_CAP"])
+        else:
+            lay0 = pk.kernel_layout(g)
+            if lay0 == "interior":
+                rate = 0.006 + min(0.0015 * k, 0.012)
+            else:
+                rate = 0.022 + min(0.01 * k, 0.05)
+                win0 = pk.kernel_window(g)[0]
+                if any(abs(s) >= win0 for s in pk.kernel_strides(g)):
+                    rate += 0.04
+                elif lay0 == "tiled" and pk.tile_shape(g)[1] > 1:
+                    rate += 0.02
+            fix_cap = max(8192, int(max_np * rate))
         K = min(fix_cap, max_np, 2048 * 128)
 
         qdt_2mc = (0.5 * psp.q_m * g.dt / g.cvac).astype(jnp.float32)

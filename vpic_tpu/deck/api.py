@@ -664,6 +664,14 @@ class Simulation:
             and all(not any(bool(np.any(b["tag"] != 0))
                             for b in h["batches"])
                     for h in self._species)
+            # intentionally single-shard: migration mutates arbitrary
+            # lanes every step (appends, zombies, per-lane mover state),
+            # forcing the species through the column view anyway — the
+            # block-residency win degenerates to one (8,n) stack per
+            # step while adding zombie-encoding invariants to the 8-row
+            # layout (NOTES_ROUND5.md).  The multishard fast path is the
+            # shard_mapped super-cycle dispatch (one SPMD dispatch per
+            # super-cycle, _jit_step_fn below).
             and not g.is_multishard
             and not _os.environ.get("VPIC_TPU_DISABLE_PACKED"))
         self._cycle_body_packed = None

@@ -297,6 +297,16 @@ def make_advance(
                         # peak n_fix ~ 0.61% of max_np (clean at 1.16%,
                         # 696 drops/32 steps at 0.58%) -> ~50% margin
                         rate = 0.006 + min(0.0015 * k, 0.012)
+                        # large-nx interior grids (256^2: window 768,
+                        # pre 384): k accumulated y-strides (k*(nx+1))
+                        # escape the window, so inter-sort y-drift joins
+                        # the fix-up traffic (r5: 146k drops/32 steps at
+                        # 256^2/4M under the base rate)
+                        win_i, pre_i = _pk.kernel_window(g)
+                        nx_i = g.gnx
+                        if min(k, 3) * (nx_i + 1) > min(pre_i,
+                                                        win_i - pre_i):
+                            rate += 0.004 * min(k, 4)
                     else:
                         rate = 0.022 + min(0.01 * k, 0.05)
                     # an active axis whose voxel stride exceeds the deposit

@@ -898,23 +898,30 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
         loc = vox - jnp.repeat(starts, block)
         loc = jnp.where(loc < 0, loc + mod, loc)
     else:
-        # Per-block MIN, not first-lane: a near-sorted array's few wrap
-        # crossers carry far-end voxels ANYWHERE, including lane 0 — a
-        # single high outlier as a block's representative would, via the
-        # running max below, poison EVERY later block's start and
-        # mass-export the whole species for a step (the round-4 "nm
-        # spike": ~np drops/step whenever the corner particle wrapped
-        # between sorts).  With the min, a high outlier only exports
-        # itself; a LOW outlier deflates its own block's start, which
-        # the running max clamps back to the previous block's.
-        starts_raw = jnp.maximum(
-            jnp.min(vox.reshape(npad // block, block), axis=1) - pre, 0)
+        # Per-block MEDIAN lane, not first-lane and not min: a
+        # near-sorted array's few wrap/fast crossers carry far voxels
+        # ANYWHERE in the block.  A high outlier as representative
+        # would, via the running max below, poison EVERY later block's
+        # start (the round-4 "nm spike": ~np drops/step).  A MIN start
+        # (the round-4 fix) is immune to high outliers but not to low
+        # ones: at 3D densities every block holds ~dozens of -z-drifted
+        # lanes (stride -128), each pulling the whole block's window
+        # down a stride and pushing the block's top quarter out of
+        # window — the r5 64^3 diagnosis: 1.2M frozen lanes/step, 55%
+        # of the species.  The median is immune to BOTH tails (drifted
+        # lanes only export themselves), exactly like the circular
+        # (mod) branch above.
+        mids = vox.reshape(npad // block, block)[:, block // 2]
+        starts_raw = jnp.maximum(mids - pre, 0)
         start_max = max(nv_pad - window, 0)
         starts = jnp.minimum((starts_raw // LANE) * LANE,
                              start_max).astype(jnp.int32)
-        # dead lanes carry voxel 0; a dead tail after sorted live lanes
-        # would break monotonicity, so clamp starts to a running max
-        # (dead blocks deposit q=0 slabs wherever their window lands)
+        # dead lanes carry voxel 0; a mostly-dead boundary block's
+        # median (and the dead tail) would break monotonicity — which
+        # the perblock slab-combine epilogue needs — so clamp starts to
+        # a running max (dead blocks deposit q=0 slabs wherever their
+        # window lands; a clamped boundary block exports at most its
+        # own live lanes to the fix-up)
         starts = jax.lax.associative_scan(jnp.maximum, starts)
         loc = vox - jnp.repeat(starts, block)
     in_window = (loc >= 0) & (loc < window)
