@@ -449,6 +449,12 @@ class PackedSpecies:
     # re-sorts are O(n) two-run merges instead of O(n log^2 n) bitonics
     key0: jax.Array         # (max_np,) int32
     ctot: jax.Array         # (kernel_nv+3,) int32
+    # carried per-block deposit-window starts, computed at sort time from
+    # the exactly-sorted keys (push_pallas.window_starts_sorted) and held
+    # fixed between sorts: the only placement immune to wrap-stranger
+    # poisoning of per-step block statistics (NOTES_ROUND5.md, 64^3
+    # diagnosis).  wstart[0] < 0 = no snapshot (robust per-step fallback)
+    wstart: jax.Array       # (n_wstart,) int32
 
     def replace(self, **kw) -> "PackedSpecies":
         return dataclasses.replace(self, **kw)

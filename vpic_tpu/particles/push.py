@@ -992,7 +992,11 @@ def pack_species(sp: SpeciesState, g: Grid):
         # merge re-sort carry: no snapshot yet (key0[0] < 0) — the first
         # sort runs the bitonic and establishes key0/ctot
         key0=jnp.full((sp.max_np,), -1, jnp.int32),
-        ctot=jnp.zeros((nvk + 3,), jnp.int32))
+        ctot=jnp.zeros((nvk + 3,), jnp.int32),
+        # window-start carry: no snapshot yet (wstart[0] < 0) — the
+        # first packed push uses the robust per-step placement; the
+        # first sort establishes the exact starts
+        wstart=jnp.full((pk.n_wstart(g, sp.max_np),), -1, jnp.int32))
 
 
 def unpack_species(psp, g: Grid) -> SpeciesState:

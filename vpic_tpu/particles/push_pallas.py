@@ -339,6 +339,11 @@ def kernel_mod(g) -> int:
     return n_interior(g) if use_interior(g) else 0
 
 
+def kernel_nv_pad(g) -> int:
+    """Lane-padded kernel table width (push.make_interp_t)."""
+    return _round_up(kernel_nv(g) + 1, LANE)
+
+
 def exception_rows(neighbor, g) -> jax.Array:
     """(14, nvk) f32 static table rows for the fused kernel:
 
@@ -847,7 +852,7 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                     perblock: bool | None = None,
                     skip_deposit: bool = False, wide: bool = True,
                     resume: bool = False, wraps: tuple = (0,) * 6,
-                    mod: int = 0):
+                    mod: int = 0, starts: jax.Array | None = None):
     """Run the fused push+walk kernel.
 
     vox: (np,) int32 (near-)sorted voxels (dead lanes carry voxel 0 and
@@ -897,32 +902,25 @@ def fused_push_walk(vox, pstate_t, table_t, params, strides, nv: int,
                              start_max).astype(jnp.int32)
         loc = vox - jnp.repeat(starts, block)
         loc = jnp.where(loc < 0, loc + mod, loc)
+    elif starts is not None:
+        # CARRIED starts (PackedSpecies.wstart, computed at sort time
+        # from exactly-sorted keys — window_starts_sorted): the only
+        # placement immune to wrap-stranger poisoning.  Between sorts a
+        # few percent of lanes carry far keys (periodic wraps jump
+        # +-(ny-1)*ntx*nzg*128 in tiled space) ANYWHERE in the block,
+        # and any per-step statistic that samples one as a block
+        # representative poisons every later block through the running
+        # max (r5 64^3 diagnosis: first-lane/median both → 99% of the
+        # species out-of-window; min → the low-tail sink of r4).  Under
+        # the Courant limit the residual bulk drifts at most one stride
+        # per axis per step, absorbed by the pre/post margins; wrap
+        # crossers export themselves.
+        loc = vox - jnp.repeat(starts, block)
     else:
-        # Per-block MEDIAN lane, not first-lane and not min: a
-        # near-sorted array's few wrap/fast crossers carry far voxels
-        # ANYWHERE in the block.  A high outlier as representative
-        # would, via the running max below, poison EVERY later block's
-        # start (the round-4 "nm spike": ~np drops/step).  A MIN start
-        # (the round-4 fix) is immune to high outliers but not to low
-        # ones: at 3D densities every block holds ~dozens of -z-drifted
-        # lanes (stride -128), each pulling the whole block's window
-        # down a stride and pushing the block's top quarter out of
-        # window — the r5 64^3 diagnosis: 1.2M frozen lanes/step, 55%
-        # of the species.  The median is immune to BOTH tails (drifted
-        # lanes only export themselves), exactly like the circular
-        # (mod) branch above.
-        mids = vox.reshape(npad // block, block)[:, block // 2]
-        starts_raw = jnp.maximum(mids - pre, 0)
-        start_max = max(nv_pad - window, 0)
-        starts = jnp.minimum((starts_raw // LANE) * LANE,
-                             start_max).astype(jnp.int32)
-        # dead lanes carry voxel 0; a mostly-dead boundary block's
-        # median (and the dead tail) would break monotonicity — which
-        # the perblock slab-combine epilogue needs — so clamp starts to
-        # a running max (dead blocks deposit q=0 slabs wherever their
-        # window lands; a clamped boundary block exports at most its
-        # own live lanes to the fix-up)
-        starts = jax.lax.associative_scan(jnp.maximum, starts)
+        # No carried starts (first packed step after pack/restore, or
+        # the unpacked cadence path): stranger-robust per-step
+        # placement (window_starts_robust)
+        starts = window_starts_robust(vox, block, window, pre, nv_pad)
         loc = vox - jnp.repeat(starts, block)
     in_window = (loc >= 0) & (loc < window)
     # the kernel recomputes loc from the voxel (pstate row 7, f32-exact
@@ -1086,6 +1084,88 @@ def kernel_window(g) -> tuple:
         window = max(512, _round_up(2 * nx + 256, 128))
         return window, _round_up(nx + 128, 128)
     return pick_window(g.nxg)
+
+
+def packed_kernel_opts(g, max_np: int) -> dict:
+    """The kernel geometry {block, window, pre} the packed path uses for
+    a species of capacity ``max_np`` on this grid — shared between
+    advance_p_packed and the sort functions so the carried window starts
+    (``PackedSpecies.wstart``) are computed for exactly the block grid
+    the next push will use."""
+    window, pre = kernel_window(g)
+    return pick_layout(kernel_nv(g), max_np, window, pre)
+
+
+def n_wstart(g, max_np: int) -> int:
+    """Length of the carried window-start array for this geometry."""
+    block = packed_kernel_opts(g, max_np)["block"]
+    return _round_up(max(max_np, block), block) // block
+
+
+def window_starts_sorted(vox, block: int, window: int, pre: int,
+                         nv_pad: int):
+    """Per-block deposit-window starts computed from EXACTLY sorted keys
+    (call at sort time): block lane 0 is the true block min, so
+    ``start = min - pre`` is outlier-free and monotone by construction
+    (the running max only flattens the re-zeroed dead tail).  Carrying
+    these starts between sorts (PackedSpecies.wstart) makes the window
+    placement immune to the wrap-stranger poisoning that defeats ANY
+    per-step robust statistic: between sorts a few percent of lanes
+    carry far keys (periodic wraps: +-(ny-1)*ntx*nzg*128 in tiled
+    space), and one such lane sampled as a block representative
+    poisons every later block through the running max (the r5 64^3
+    diagnosis: 99% of the species out-of-window, NOTES_ROUND5.md).
+    Under the Courant limit keys drift at most one stride per axis per
+    step, which the window's pre/post margins absorb; wrap-crossers
+    export themselves to the fix-up."""
+    n = vox.shape[0]
+    npad = _round_up(max(n, block), block)
+    if npad != n:
+        vox = jnp.concatenate(
+            [vox, jnp.zeros((npad - n,), vox.dtype)])
+    mins = vox.reshape(npad // block, block)[:, 0]
+    starts_raw = jnp.maximum(mins - pre, 0)
+    start_max = max(nv_pad - window, 0)
+    starts = jnp.minimum((starts_raw // LANE) * LANE,
+                         start_max).astype(jnp.int32)
+    return jax.lax.associative_scan(jnp.maximum, starts)
+
+
+def window_starts_robust(vox, block: int, window: int, pre: int,
+                         nv_pad: int):
+    """Per-step window starts for (near-)sorted keys WITHOUT a carried
+    snapshot: per-block middle lane, cleaned by a forward window-MIN
+    over W_REP consecutive block reps before the running max.  The min
+    removes isolated HIGH strangers (poisoning needs W_REP consecutive
+    stranger middles, ~p^W_REP at the few-percent stranger rates
+    between sorts); a LOW stranger deflates only its own window run,
+    which the running max clamps back — low-tail-safe, unlike the r4
+    min-over-lanes, which sampled the block's full low tail (the 3D
+    window sink).  Exactly-sorted input gives exact starts."""
+    W_REP = 8
+    n = vox.shape[0]
+    npad = _round_up(max(n, block), block)
+    if npad != n:
+        vox = jnp.concatenate([vox, jnp.zeros((npad - n,), vox.dtype)])
+    mids = vox.reshape(npad // block, block)[:, block // 2]
+    nb_ = npad // block
+    if nb_ > 1:
+        w_eff = min(W_REP, nb_)
+        shifted = [jnp.concatenate([mids[j:],
+                                    jnp.full((j,), jnp.int32(2 ** 30))])
+                   for j in range(w_eff)]
+        mids = jnp.min(jnp.stack(shifted, axis=0), axis=0)
+    starts_raw = jnp.maximum(mids - pre, 0)
+    start_max = max(nv_pad - window, 0)
+    starts = jnp.minimum((starts_raw // LANE) * LANE,
+                         start_max).astype(jnp.int32)
+    # dead lanes carry voxel 0; a mostly-dead boundary block's middle
+    # (and the dead tail) would break monotonicity — which the perblock
+    # slab-combine epilogue needs — so clamp starts to a running max
+    # (dead blocks deposit q=0 slabs wherever their window lands; a
+    # clamped boundary block exports at most its own live lanes to the
+    # fix-up)
+    return jax.lax.associative_scan(jnp.maximum, starts)
 
 
 def pick_layout(nvk: int, n: int, window: int, pre: int) -> dict:
